@@ -1,0 +1,158 @@
+"""Vectorized, differentiable image augmentations for the cutout batch.
+
+Replicates the reference's torchvision augmentation stack (reference
+cutouts.py:31-45) as pure-jnp ops over an (N, S, S, C) batch with per-image
+RNG, so the whole stack runs as one fused XLA program and guidance gradients
+flow through it (the reference backprops the CLIP loss through these
+transforms):
+
+    RandomHorizontalFlip(0.5) -> +0.01*noise -> RandomAffine(10 deg, 5%
+    translate, bilinear) -> +0.01*noise -> RandomGrayscale(0.1) ->
+    +0.01*noise -> ColorJitter(0.1 x brightness/contrast/saturation/hue)
+
+Divergence note: torchvision's ColorJitter applies its four sub-ops in a
+random order per call; we use a fixed order (brightness, contrast,
+saturation, hue).  The induced distributions differ negligibly at strength
+0.1 and a fixed order keeps the program static.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+
+# ITU-R 601 luma weights (torchvision rgb_to_grayscale).
+_LUMA = (0.299, 0.587, 0.114)
+
+
+@dataclasses.dataclass(frozen=True)
+class AugmentConfig:
+    flip_p: float = 0.5
+    noise_std: float = 0.01
+    degrees: float = 10.0
+    translate: float = 0.05
+    grayscale_p: float = 0.1
+    jitter: float = 0.1  # brightness/contrast/saturation/hue strength
+
+
+def rgb_to_grayscale(img):
+    """RGB -> 3-channel grayscale, differentiable. img: (..., 3)."""
+    r, g, b = img[..., 0], img[..., 1], img[..., 2]
+    y = _LUMA[0] * r + _LUMA[1] * g + _LUMA[2] * b
+    return jnp.stack([y, y, y], axis=-1)
+
+
+def _bilinear_sample(img, ys, xs):
+    """Sample HWC image at fractional coords (S,S) with zero fill outside."""
+    h, w = img.shape[0], img.shape[1]
+    y0 = jnp.floor(ys)
+    x0 = jnp.floor(xs)
+    wy = ys - y0
+    wx = xs - x0
+    y0i = y0.astype(jnp.int32)
+    x0i = x0.astype(jnp.int32)
+
+    def tap(yy, xx):
+        inside = (yy >= 0) & (yy < h) & (xx >= 0) & (xx < w)
+        yc = jnp.clip(yy, 0, h - 1)
+        xc = jnp.clip(xx, 0, w - 1)
+        vals = img[yc, xc]  # gather (S,S,C)
+        return jnp.where(inside[..., None], vals, 0.0)
+
+    top = tap(y0i, x0i) * (1 - wx)[..., None] + tap(y0i, x0i + 1) * wx[..., None]
+    bot = tap(y0i + 1, x0i) * (1 - wx)[..., None] + tap(y0i + 1, x0i + 1) * wx[..., None]
+    return top * (1 - wy)[..., None] + bot * wy[..., None]
+
+
+def _random_affine(img, key, degrees, translate):
+    """torchvision RandomAffine semantics: rotate by U(-deg, deg) about the
+    center, translate by U(-t, t) * size, bilinear, zero fill."""
+    s = img.shape[0]
+    k1, k2, k3 = jax.random.split(key, 3)
+    angle = jax.random.uniform(k1, (), minval=-degrees, maxval=degrees) * (
+        jnp.pi / 180.0
+    )
+    # torchvision draws integer pixel translations from +-t*size
+    max_t = translate * s
+    ty = jax.random.uniform(k2, (), minval=-max_t, maxval=max_t)
+    tx = jax.random.uniform(k3, (), minval=-max_t, maxval=max_t)
+
+    c = (s - 1) / 2.0
+    cos, sin = jnp.cos(angle), jnp.sin(angle)
+    # inverse map: output pixel -> input pixel
+    ii = jnp.arange(s, dtype=jnp.float32)
+    ys, xs = jnp.meshgrid(ii, ii, indexing="ij")
+    yr = ys - c - ty
+    xr = xs - c - tx
+    src_y = cos * yr + sin * xr + c
+    src_x = -sin * yr + cos * xr + c
+    return _bilinear_sample(img, src_y, src_x)
+
+
+def _color_jitter(img, key, strength):
+    """brightness/contrast/saturation multiplicative jitter + hue shift."""
+    kb, kc, ks, kh = jax.random.split(key, 4)
+    lo, hi = 1.0 - strength, 1.0 + strength
+
+    # brightness: scale
+    img = img * jax.random.uniform(kb, (), minval=lo, maxval=hi)
+    # contrast: blend with mean luma
+    f = jax.random.uniform(kc, (), minval=lo, maxval=hi)
+    mean = jnp.mean(rgb_to_grayscale(img), axis=(-3, -2, -1), keepdims=True)
+    img = f * img + (1.0 - f) * mean
+    # saturation: blend with grayscale
+    f = jax.random.uniform(ks, (), minval=lo, maxval=hi)
+    img = f * img + (1.0 - f) * rgb_to_grayscale(img)
+    # hue: rotate around the luma axis in YIQ space (differentiable
+    # equivalent of HSV hue shift for small angles)
+    theta = jax.random.uniform(kh, (), minval=-strength, maxval=strength) * (
+        2.0 * jnp.pi
+    )
+    img = _hue_rotate(img, theta)
+    return img
+
+
+def _hue_rotate(img, theta):
+    """Rotate chroma in YIQ space by theta radians (hue shift)."""
+    r, g, b = img[..., 0], img[..., 1], img[..., 2]
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    i = 0.596 * r - 0.274 * g - 0.322 * b
+    q = 0.211 * r - 0.523 * g + 0.312 * b
+    cos, sin = jnp.cos(theta), jnp.sin(theta)
+    i2 = cos * i - sin * q
+    q2 = sin * i + cos * q
+    r2 = y + 0.956 * i2 + 0.621 * q2
+    g2 = y - 0.272 * i2 - 0.647 * q2
+    b2 = y - 1.106 * i2 + 1.703 * q2
+    return jnp.stack([r2, g2, b2], axis=-1)
+
+
+def _augment_one(img, key, cfg: AugmentConfig):
+    """Full augmentation stack for one SxSxC image in [0,1] space."""
+    keys = jax.random.split(key, 7)
+    # 1. random horizontal flip
+    flip = jax.random.bernoulli(keys[0], cfg.flip_p)
+    img = jnp.where(flip, img[:, ::-1, :], img)
+    # 2. gaussian noise
+    img = img + cfg.noise_std * jax.random.normal(keys[1], img.shape, img.dtype)
+    # 3. random affine
+    img = _random_affine(img, keys[2], cfg.degrees, cfg.translate)
+    # 4. gaussian noise
+    img = img + cfg.noise_std * jax.random.normal(keys[3], img.shape, img.dtype)
+    # 5. random grayscale
+    gray = jax.random.bernoulli(keys[4], cfg.grayscale_p)
+    img = jnp.where(gray, rgb_to_grayscale(img), img)
+    # 6. gaussian noise
+    img = img + cfg.noise_std * jax.random.normal(keys[5], img.shape, img.dtype)
+    # 7. color jitter
+    img = _color_jitter(img, keys[6], cfg.jitter)
+    return img
+
+
+def augment_batch(images, key, cfg: AugmentConfig = AugmentConfig()):
+    """Apply the stack to an (N, S, S, C) batch with independent per-image
+    randomness."""
+    keys = jax.random.split(key, images.shape[0])
+    return jax.vmap(lambda im, k: _augment_one(im, k, cfg))(images, keys)
