@@ -1,0 +1,108 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from clip_diffusion_tpu.models.unet import (
+    UNetConfig,
+    UNetModel,
+    split_model_output,
+    timestep_embedding,
+)
+
+
+@pytest.fixture(scope="module")
+def tiny():
+    cfg = UNetConfig.tiny(image_size=16)
+    model = UNetModel(cfg)
+    params = model.init(
+        jax.random.PRNGKey(0), jnp.ones((1, 16, 16, 3)), jnp.zeros((1,))
+    )
+    return cfg, model, params
+
+
+def test_forward_shape(tiny):
+    cfg, model, params = tiny
+    out = model.apply(params, jnp.ones((2, 16, 16, 3)), jnp.array([0.0, 500.0]))
+    assert out.shape == (2, 16, 16, 6)
+    assert out.dtype == jnp.float32
+    eps, var = split_model_output(out)
+    assert eps.shape == var.shape == (2, 16, 16, 3)
+
+
+def test_zero_init_output_head(tiny):
+    """out_2 and proj_out convs are zero-initialized like ADM's zero_module:
+    a fresh model must output exactly zero."""
+    cfg, model, params = tiny
+    out = model.apply(params, jnp.ones((1, 16, 16, 3)), jnp.zeros((1,)))
+    np.testing.assert_allclose(np.asarray(out), 0.0)
+
+
+def test_timestep_sensitivity(tiny):
+    """After perturbing the zero head, different timesteps give different
+    outputs (time conditioning is wired)."""
+    cfg, model, params = tiny
+    params = jax.tree_util.tree_map(
+        lambda p: p + 0.01 * jax.random.normal(jax.random.PRNGKey(1), p.shape, p.dtype),
+        params,
+    )
+    x = jnp.ones((1, 16, 16, 3))
+    o1 = model.apply(params, x, jnp.array([0.0]))
+    o2 = model.apply(params, x, jnp.array([900.0]))
+    assert float(jnp.abs(o1 - o2).max()) > 1e-6
+
+
+def test_timestep_embedding_convention():
+    """cat(cos, sin) ordering with max_period 10000."""
+    emb = timestep_embedding(jnp.array([0.0]), 8)
+    np.testing.assert_allclose(np.asarray(emb[0, :4]), 1.0, atol=1e-6)  # cos(0)
+    np.testing.assert_allclose(np.asarray(emb[0, 4:]), 0.0, atol=1e-6)  # sin(0)
+    emb_t = timestep_embedding(jnp.array([1.0]), 4)
+    np.testing.assert_allclose(float(emb_t[0, 0]), np.cos(1.0), rtol=1e-5)
+    np.testing.assert_allclose(float(emb_t[0, 1]), np.cos(1e-2), rtol=1e-4)
+
+
+def test_grad_flows(tiny):
+    cfg, model, params = tiny
+    params = jax.tree_util.tree_map(
+        lambda p: p + 0.01 * jax.random.normal(jax.random.PRNGKey(2), p.shape, p.dtype),
+        params,
+    )
+
+    def f(x):
+        out = model.apply(params, x, jnp.array([100.0]))
+        return jnp.sum(out**2)
+
+    g = jax.grad(f)(jnp.ones((1, 16, 16, 3)))
+    assert np.isfinite(np.asarray(g)).all()
+    assert float(jnp.abs(g).sum()) > 0
+
+
+def test_jit_single_compile(tiny):
+    cfg, model, params = tiny
+    f = jax.jit(lambda x, t: model.apply(params, x, t))
+    f(jnp.ones((1, 16, 16, 3)), jnp.array([1.0]))
+    f(jnp.zeros((1, 16, 16, 3)), jnp.array([5.0]))
+    assert f._cache_size() == 1
+
+
+def test_flagship_param_count():
+    """The 512^2 config must land at the reference's ~552M parameters —
+    structural parity check without instantiating full weights."""
+    cfg = UNetConfig.for_image_size(512)
+    model = UNetModel(cfg)
+    shapes = jax.eval_shape(
+        lambda: model.init(
+            jax.random.PRNGKey(0),
+            jnp.ones((1, 512, 512, 3)),
+            jnp.zeros((1,)),
+        )
+    )
+    n = sum(int(np.prod(x.shape)) for x in jax.tree_util.tree_leaves(shapes))
+    assert 540e6 < n < 565e6, f"param count {n/1e6:.1f}M out of range"
+
+
+def test_halfres_channel_mult():
+    cfg = UNetConfig.for_image_size(256)
+    assert cfg.channel_mult == (1, 1, 2, 2, 4, 4)
+    assert cfg.attention_ds == (8, 16, 32)
