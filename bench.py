@@ -1,0 +1,148 @@
+"""Benchmark: guided-diffusion images/min/chip at 512^2, 250 steps.
+
+Measures the steady-state per-timestep latency of the FULL fused guided step
+(552M-param UNet fwd+bwd, dynamic thresholding, the complete Disco cutout
+schedule across all configured CLIP perceptors, spherical/TV/range losses,
+guidance grad, conditioned DDIM update) on one chip and extrapolates to
+images/minute at 250 steps.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "images/min", "vs_baseline": N}
+
+vs_baseline: the reference publishes no numbers (BASELINE.md); its stack
+(T4-class Colab GPU, torch fp16, batch 1, 2 UNet fwd + 1 VJP + 64 serial
+CLIP cutout embeds per step at 512^2/250 steps) runs ~12.5 min/image
+(Disco-Diffusion-family community timing for this exact configuration)
+=> 0.08 images/min is the baseline estimate used here.
+
+Flags: --smoke (tiny models, CI), --steps N, --measure K, --clips LIST,
+--batch B, --width W --height H.
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+REFERENCE_IMAGES_PER_MIN = 0.08  # T4 estimate, see docstring
+DEFAULT_STEPS = 250
+
+
+def _enable_compile_cache():
+    import jax
+
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          os.path.join(os.path.dirname(__file__), ".jax_cache"))
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass  # cache flags are best-effort across jax versions
+
+
+def bench_flagship(args):
+    import jax
+    import jax.numpy as jnp
+
+    from clip_diffusion_tpu.config import Config
+    from clip_diffusion_tpu.diffusion.sampling import SamplerConfig, init_history
+    from clip_diffusion_tpu.pipeline.guided import build_guided_step
+    from clip_diffusion_tpu.zoo import build_models, build_pipeline
+
+    config = Config(
+        width=args.width,
+        height=args.height,
+        chosen_clip_models=tuple(args.clips.split(",")),
+        num_cutout_batches=args.cutout_batches,
+    )
+    sampler = SamplerConfig(mode="ddim", steps=args.steps, eta=0.8)
+    models = build_models(config, image_size=512, param_dtype=jnp.bfloat16)
+    pipe = build_pipeline(
+        models, config, [("a beautiful landscape painting", 1.0)], sampler
+    )
+
+    step_fn, _ = build_guided_step(pipe)
+    shape = (args.batch, config.height, config.width, 3)
+    key = jax.random.PRNGKey(0)
+    x = jax.random.normal(key, shape, jnp.float32)
+    carry = (x, init_history(shape), jnp.int32(0))
+
+    jit_step = jax.jit(lambda c, s: step_fn(c, s, key))
+
+    # warmup/compile (early schedule phase = max cutout count phase)
+    t0 = time.time()
+    c, _ = jit_step(carry, jnp.int32(args.steps - 1))
+    jax.block_until_ready(c)
+    compile_s = time.time() - t0
+
+    # steady state: run K steps down the schedule
+    t0 = time.time()
+    cur = c
+    for i in range(args.measure):
+        cur, _ = jit_step(cur, jnp.int32(args.steps - 2 - i))
+    jax.block_until_ready(cur)
+    per_step = (time.time() - t0) / args.measure
+
+    per_image_s = per_step * DEFAULT_STEPS / args.batch
+    images_per_min = 60.0 / per_image_s
+    return {
+        "metric": "guided_512px_250steps_images_per_min_per_chip",
+        "value": round(images_per_min, 4),
+        "unit": "images/min",
+        "vs_baseline": round(images_per_min / REFERENCE_IMAGES_PER_MIN, 2),
+        "detail": {
+            "per_step_ms": round(per_step * 1000, 1),
+            "batch": args.batch,
+            "canvas": f"{config.width}x{config.height}",
+            "steps_extrapolated": DEFAULT_STEPS,
+            "measured_steps": args.measure,
+            "clip_models": list(config.chosen_clip_models),
+            "num_cutout_batches": args.cutout_batches,
+            "compile_s": round(compile_s, 1),
+            "device": str(jax.devices()[0]),
+            "baseline_note": "reference est. 0.08 img/min (T4, same config)",
+        },
+    }
+
+
+def bench_smoke(args):
+    import jax
+    import jax.numpy as jnp
+
+    from clip_diffusion_tpu.tests_support import build_tiny_pipeline
+
+    pipe, sample_fn = build_tiny_pipeline(steps=5)
+    t0 = time.time()
+    out = sample_fn(pipe, jax.random.PRNGKey(0), 2)
+    jax.block_until_ready(out)
+    elapsed = time.time() - t0
+    return {
+        "metric": "smoke_tiny_guided_5steps",
+        "value": round(elapsed, 2),
+        "unit": "s",
+        "vs_baseline": 1.0,
+    }
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--smoke", action="store_true")
+    p.add_argument("--steps", type=int, default=DEFAULT_STEPS)
+    p.add_argument("--measure", type=int, default=10)
+    p.add_argument("--batch", type=int, default=1)
+    p.add_argument("--width", type=int, default=512)
+    p.add_argument("--height", type=int, default=512)
+    p.add_argument("--cutout-batches", type=int, default=4)
+    p.add_argument(
+        "--clips", type=str, default="ViT-B/32,ViT-B/16,ViT-L/14,RN101"
+    )
+    args = p.parse_args()
+
+    _enable_compile_cache()
+    result = bench_smoke(args) if args.smoke else bench_flagship(args)
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -110,8 +110,12 @@ class MultiheadAttention(nn.Module):
     def __call__(self, x, mask=None):
         b, t, _ = x.shape
         d = self.width // self.heads
+        # packed as [q; k; v] blocks like torch MultiheadAttention in_proj
         qkv = nn.Dense(3 * self.width, dtype=self.dtype, name="in_proj")(x)
-        q, k, v = jnp.split(qkv.reshape(b, t, self.heads, 3 * d), 3, axis=-1)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        q = q.reshape(b, t, self.heads, d)
+        k = k.reshape(b, t, self.heads, d)
+        v = v.reshape(b, t, self.heads, d)
         logits = jnp.einsum(
             "bthd,bshd->bhts", q, k, preferred_element_type=jnp.float32
         ) / np.sqrt(d)

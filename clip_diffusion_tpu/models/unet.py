@@ -94,12 +94,14 @@ def timestep_embedding(t, dim: int, max_period: float = 10000.0):
 
 
 class GroupNorm32(nn.Module):
-    """GroupNorm(32) with float32 statistics regardless of compute dtype."""
+    """GroupNorm(32) with float32 statistics regardless of compute dtype.
+    (Falls back to fewer groups only for sub-32-channel test configs.)"""
 
     @nn.compact
     def __call__(self, x):
         orig = x.dtype
-        x = nn.GroupNorm(num_groups=32, epsilon=1e-5, dtype=jnp.float32)(
+        groups = min(32, x.shape[-1])
+        x = nn.GroupNorm(num_groups=groups, epsilon=1e-5, dtype=jnp.float32)(
             x.astype(jnp.float32)
         )
         return x.astype(orig)

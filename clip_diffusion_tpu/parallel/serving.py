@@ -1,0 +1,144 @@
+"""Pod-sharded batch serving + the service API surface.
+
+Covers the reference's RPC layer (reference utils/anvil_utils.py:36-95 and
+the notebook callables, SURVEY.md §2 L5): seed issuance, settings updates,
+random prompt fetch, result retrieval, and CLIP image analysis — plus the
+new pod-scale capability (BASELINE config 5): one request = a batch of
+(prompt x seed) generations sharded over the device mesh, each chip running
+the fused guided loop on its own shard with zero hot-loop collectives.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from clip_diffusion_tpu.config import Config
+from clip_diffusion_tpu.parallel.mesh import batch_sharding, make_mesh
+from clip_diffusion_tpu.utils.seeds import seed_as_string
+
+
+def get_seed() -> str:
+    """Seed as a string, dodging JS integer overflow at the client
+    (reference anvil_utils.py:36-39)."""
+    return seed_as_string()
+
+
+def change_settings(config: Config, **kwargs) -> Config:
+    """Functional settings update — the `Config.update` RPC analog
+    (reference anvil_utils.py:42-55): returns a NEW immutable Config."""
+    return config.replace(**kwargs)
+
+
+def get_random_prompt(fetcher=None) -> str:
+    """The reference scrapes artprompts.org (reference anvil_utils.py:58-65)
+    — network-gated here; a local prompt bank serves zero-egress deploys."""
+    if fetcher is not None:
+        return fetcher()
+    bank = [
+        "A lighthouse on a cliff at golden hour, oil painting.",
+        "A cyberpunk street market in the rain, neon reflections.",
+        "An ancient forest with rays of light, matte painting.",
+        "A steampunk airship above snowy mountains.",
+        "A cozy cabin interior, warm light, watercolor.",
+    ]
+    import random
+
+    return random.choice(bank)
+
+
+def get_chosen_image(choice: int, output_dir: str = "output_images") -> bytes:
+    """Return the super-resolved latent output `choice` as PNG bytes
+    (reference anvil_utils.py:68-72 returns BlobMedia of sr/latent_N.png)."""
+    path = os.path.join(output_dir, "latent", "sr", f"latent_{choice}.png")
+    if not os.path.exists(path):
+        path = os.path.join(output_dir, "latent", f"latent_{choice}.png")
+    with open(path, "rb") as f:
+        return f.read()
+
+
+@dataclasses.dataclass
+class AnalysisBank:
+    """Per-CLIP-model style/media embedding banks for analyze_image
+    (reference data/: styles.csv 397 rows, media.csv 95 rows with
+    per-model embeddings; anvil_utils.py:19-33)."""
+
+    styles: Dict[str, "np.ndarray"]  # model name -> (N, D)
+    media: Dict[str, "np.ndarray"]
+    style_names: List[str]
+    media_names: List[str]
+
+
+def analyze_image(
+    image01: np.ndarray,
+    clip_embed_fns: Dict[str, callable],
+    bank: AnalysisBank,
+    top_k: int = 3,
+) -> Dict[str, List[Tuple[float, str]]]:
+    """CLIP image analysis: top-3 styles/media by inner product of the
+    L2-normalized image embedding (reference anvil_utils.py:75-95; analysis
+    uses ViT-B/16 + ViT-L/14 only — pass just those embed fns)."""
+    from clip_diffusion_tpu.guidance.losses import l2_normalize
+    from clip_diffusion_tpu.models.clip.model import clip_normalize
+    from clip_diffusion_tpu.ops.resize import resize_image
+    from clip_diffusion_tpu.text.retrieval import EmbeddingIndex
+
+    img = jnp.asarray(image01, jnp.float32)
+    square = resize_image(img, 224)
+    results: Dict[str, List[Tuple[float, str]]] = {"styles": [], "media": []}
+    agg_styles = {}
+    agg_media = {}
+    for name, embed in clip_embed_fns.items():
+        emb = embed(clip_normalize(square[None]))
+        emb = np.asarray(l2_normalize(emb, axis=-1))
+        for kind, banks, names, agg in (
+            ("styles", bank.styles, bank.style_names, agg_styles),
+            ("media", bank.media, bank.media_names, agg_media),
+        ):
+            if name not in banks:
+                continue
+            scores, idx = EmbeddingIndex(banks[name]).search(emb, top_k)
+            for s, i in zip(scores[0], idx[0]):
+                agg.setdefault(names[i], []).append(float(s))
+    for kind, agg in (("styles", agg_styles), ("media", agg_media)):
+        ranked = sorted(
+            ((float(np.mean(v)), k) for k, v in agg.items()), reverse=True
+        )[:top_k]
+        results[kind] = [(round(100 * s, 2), n) for s, n in ranked]
+    return results
+
+
+# --------------------------------------------------------------------------
+# Pod-sharded batch generation
+# --------------------------------------------------------------------------
+
+def serve_guided_batch(
+    pipe,
+    prompts_count: int,
+    seeds_per_prompt: int,
+    base_seed: int = 0,
+    mesh=None,
+):
+    """Run `prompts_count x seeds_per_prompt` guided generations as one
+    sharded batch over the (prompt, seed) mesh.
+
+    For heterogeneous prompts, group requests by prompt embedding and vmap;
+    round-1 serving shards a single prompt's seed fan-out plus identical
+    prompt rows (the BASELINE config-5 layout is symmetric)."""
+    from clip_diffusion_tpu.pipeline.guided import guided_sample
+
+    mesh = mesh or make_mesh()
+    batch = prompts_count * seeds_per_prompt
+    key = jax.random.PRNGKey(base_seed)
+
+    out_sh = batch_sharding(mesh)
+    final, frames = jax.jit(
+        lambda k: guided_sample(pipe, k, batch_size=batch),
+        out_shardings=(out_sh, None),
+    )(key)
+    return final, frames

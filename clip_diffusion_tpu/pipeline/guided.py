@@ -1,0 +1,318 @@
+"""The CLIP-guided diffusion pipeline, fused into one `lax.scan`.
+
+This is the TPU redesign of the reference's hot loop (reference
+sample.py:59-314, call stack in SURVEY.md §3.1).  Per timestep the reference
+runs: UNet forward (inside the sampler), a *second* UNet forward inside
+cond_fn's `p_mean_variance`, 4 CLIP models x 4 cutout batches of CLIP
+fwd+bwd, and one UNet VJP — all as eager torch ops from Python.
+
+Here the whole per-timestep body is a single XLA program inside `lax.scan`:
+
+* ONE UNet forward shared between the sampler update and the guidance loss
+  (the reference's two forwards at the same (x, t) are mathematically one;
+  its cond_fn just couldn't share autograd state).  The guidance gradient
+  comes from `jax.value_and_grad` of the scalar loss w.r.t. x through that
+  shared forward — replacing the manual double `autograd.grad` VJP chain
+  (reference sample.py:199-231).  Net: 1 fwd + 1 bwd per step instead of
+  2 fwd + 1 bwd.
+* cutout counts/sizes ride dense schedule tables gathered by timestep
+  (reference sample.py:156-172), so all schedule phases share one compiled
+  program.
+* all `num_cutout_batches` cutout groups for all scheduled cuts are embedded
+  in ONE batched CLIP forward per perceptor (the reference's sequential
+  batches average gradients arithmetically — identical math, reference
+  sample.py:162,206,213 — but 4x better MXU utilization).
+* NaN guard and RMS gradient clamp keep the reference's fault-tolerance
+  semantics (reference sample.py:228-238).
+* dynamic thresholding is applied as the sampler's denoised_fn on the
+  sampler path only — the guidance loss sees the raw mixed prediction,
+  exactly like the reference (its cond_fn calls p_mean_variance *without*
+  denoised_fn; sample.py:149-154 vs 116-132).
+
+Batching: images are NHWC with a leading batch of independent seeds/prompts
+(the reference is locked to batch 1 and generates `num_batches` serially,
+sample.py:246-251,278; here the batch axis is first-class and shards across
+chips, see parallel/).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Dict, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import io_callback
+
+from clip_diffusion_tpu.config import Config
+from clip_diffusion_tpu.diffusion.sampling import (
+    SamplerConfig,
+    condition_eps,
+    ddim_step,
+    dynamic_threshold,
+    init_history,
+    plms_eps,
+    plms_step,
+    predict_eps_from_xstart,
+    predict_xstart_from_eps,
+    push_history,
+    q_sample,
+    schedule_tables,
+)
+from clip_diffusion_tpu.diffusion.schedule import NoiseSchedule, make_schedule
+from clip_diffusion_tpu.guidance.cutouts import CutoutSpec, make_cutouts_batch
+from clip_diffusion_tpu.guidance.losses import (
+    aesthetic_loss,
+    l2_normalize,
+    rgb_range_loss,
+    square_spherical_distance_loss,
+    structural_dissimilarity_loss,
+    total_variational_loss,
+)
+from clip_diffusion_tpu.models.clip.model import clip_normalize
+from clip_diffusion_tpu.models.unet import split_model_output
+
+
+@dataclasses.dataclass(frozen=True)
+class Perceptor:
+    """One CLIP model wired for guidance: an embed function, the prompt
+    embeddings/weights it scores against, and an optional aesthetic head."""
+
+    name: str
+    embed_image: Callable  # CLIP-normalized (N,S,S,3) -> (N,D)
+    input_resolution: int
+    text_embeddings: jnp.ndarray  # (P, D)
+    text_weights: jnp.ndarray  # (P,)
+    aesthetic_fn: Optional[Callable] = None  # (N,D)->(N,1)
+
+
+@dataclasses.dataclass(frozen=True)
+class GuidedPipeline:
+    """Everything needed to run guided sampling, pre-bound and hashable
+    enough to live in jit closures."""
+
+    unet_apply: Callable  # (x NHWC, t (B,)) -> (B,H,W,2C)
+    perceptors: Tuple[Perceptor, ...]
+    config: Config
+    sampler: SamplerConfig
+    schedule: NoiseSchedule
+    lpips_fn: Optional[Callable] = None  # (x, y) -> (B,)
+
+    def cutout_spec(self, resolution: int) -> CutoutSpec:
+        cs = self.config.cutout_schedules
+        return CutoutSpec(
+            cut_size=resolution,
+            max_overview=cs.max_overview_cuts,
+            max_inner=cs.max_inner_cuts,
+        )
+
+
+def _schedule_index(tables, step):
+    """Respaced step -> dense 1000-basis schedule index: the reference's
+    `1000 - (t+1)` with t the rescaled timestep (sample.py:156-159)."""
+    t_scaled = tables["scaled_timesteps"][step]
+    return jnp.clip(999 - jnp.floor(t_scaled).astype(jnp.int32), 0, 999)
+
+
+def make_guidance_loss(pipe: GuidedPipeline, tables, sched_arrays,
+                       init_image: Optional[jnp.ndarray]):
+    """Build loss(x, step, key) -> (scalar, aux) differentiating w.r.t. x.
+
+    The scalar sums per-image losses (batch elements are independent, so
+    d(sum)/dx gives each image its own gradient)."""
+    cfg = pipe.config
+    n_ov_table, n_in_table, power_table, gray_table = sched_arrays
+
+    def loss_fn(x, step, key):
+        b = x.shape[0]
+        t_scaled = jnp.broadcast_to(tables["scaled_timesteps"][step], (b,))
+        model_out = pipe.unet_apply(x, t_scaled)
+        eps, var_raw = split_model_output(model_out)
+        pred_x0 = predict_xstart_from_eps(x, eps, tables, step)
+
+        # mixed denoised prediction (reference sample.py:152-154)
+        factor = tables["sqrt_one_minus_alphas_cumprod"][step].astype(x.dtype)
+        denoised = pred_x0 * factor + x * (1.0 - factor)
+
+        idx = _schedule_index(tables, step)
+        n_ov = n_ov_table[idx]
+        n_in = n_in_table[idx]
+        power = power_table[idx]
+        gray = gray_table[idx]
+
+        total = jnp.float32(0.0)
+        if cfg.clip_guidance_scale > 0:
+            for pi, perc in enumerate(pipe.perceptors):
+                pkey = jax.random.fold_in(key, pi)
+                spec = pipe.cutout_spec(perc.input_resolution)
+                cuts, w = make_cutouts_batch(
+                    denoised, pkey, n_ov, n_in, power, gray, spec,
+                    repeats=cfg.num_cutout_batches,
+                )  # (B, N, S, S, 3), (B, N)
+                n = cuts.shape[1]
+                embs = perc.embed_image(
+                    clip_normalize(cuts.reshape((b * n,) + cuts.shape[2:]))
+                ).reshape(b, n, -1)
+                # (B, N, P) spherical distances against weighted prompts
+                d = square_spherical_distance_loss(
+                    embs[:, :, None, :],
+                    perc.text_embeddings[None, None, :, :],
+                )
+                weighted = jnp.sum(d * perc.text_weights[None, None, :], axis=-1)
+                total += cfg.clip_guidance_scale * jnp.sum(w * weighted)
+                if perc.aesthetic_fn is not None and cfg.aesthetic_scale > 0:
+                    scores = perc.aesthetic_fn(l2_normalize(embs, axis=-1))[..., 0]
+                    total -= cfg.aesthetic_scale * jnp.sum(w * scores)
+
+        if cfg.denoise_scale > 0:
+            total += cfg.denoise_scale * jnp.sum(total_variational_loss(denoised))
+        if cfg.range_scale > 0:
+            total += cfg.range_scale * jnp.sum(rgb_range_loss(denoised))
+        if init_image is not None:
+            if pipe.lpips_fn is not None and cfg.LPIPS_scale > 0:
+                total += cfg.LPIPS_scale * jnp.sum(
+                    pipe.lpips_fn(denoised, init_image)
+                )
+            if cfg.MS_SSIM_scale > 0:
+                total += cfg.MS_SSIM_scale * jnp.sum(
+                    structural_dissimilarity_loss(denoised, init_image)
+                )
+        return total, (eps, var_raw, pred_x0)
+
+    return loss_fn
+
+
+def _clamp_guidance_grad(grad, threshold):
+    """Reference sample.py:228-238: zero the gradient if any NaN (per batch
+    element), then clamp its RMS magnitude to `threshold`."""
+    finite = jnp.all(jnp.isfinite(grad), axis=(1, 2, 3), keepdims=True)
+    grad = jnp.where(finite, grad, 0.0)
+    mag = jnp.sqrt(jnp.mean(grad**2, axis=(1, 2, 3), keepdims=True))
+    return grad * jnp.clip(mag, None, threshold) / jnp.maximum(mag, 1e-12)
+
+
+def build_guided_step(pipe: GuidedPipeline,
+                      init_image: Optional[jnp.ndarray] = None):
+    """Build the scan body: (carry, step_index) -> (carry, pred_x0).
+
+    carry = (x, eps_history, history_count); RNG is derived per step from a
+    base key folded with the step index (independent of scan order)."""
+    tables = schedule_tables(pipe.schedule)
+    sched_arrays = tuple(
+        jnp.asarray(a) for a in pipe.config.cutout_schedules.as_arrays()
+    )
+    loss_fn = make_guidance_loss(pipe, tables, sched_arrays, init_image)
+    grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+    sampler = pipe.sampler
+
+    def step_fn(carry, step, base_key):
+        x, eps_hist, hist_count = carry
+        key = jax.random.fold_in(base_key, step)
+        k_cut, k_noise = jax.random.split(key)
+
+        (loss, (eps, var_raw, pred_x0_raw)), grad = grad_fn(x, step, k_cut)
+        guidance = _clamp_guidance_grad(-grad, pipe.config.grad_threshold)
+
+        # sampler path: threshold pred_x0, re-derive eps, condition on the
+        # guidance gradient (guided-diffusion condition_score order)
+        pred_x0_thr = dynamic_threshold(
+            pred_x0_raw, sampler.dynamic_thresholding_percentile
+        )
+        eps_thr = predict_eps_from_xstart(x, pred_x0_thr, tables, step)
+        eps_cond = condition_eps(eps_thr, guidance, tables, step)
+        pred_x0_final = predict_xstart_from_eps(x, eps_cond, tables, step)
+
+        if sampler.mode == "plms":
+            eps_prime = plms_eps(eps_cond, eps_hist, hist_count, sampler.order)
+            x_next = plms_step(x, eps_prime, tables, step)
+            eps_hist = push_history(eps_cond, eps_hist)
+            hist_count = hist_count + 1
+        else:
+            noise = jax.random.normal(k_noise, x.shape, x.dtype)
+            x_next = ddim_step(
+                x, eps_cond, pred_x0_final, tables, step, sampler.eta, noise
+            )
+        return (x_next, eps_hist, hist_count), pred_x0_final
+
+    return step_fn, tables
+
+
+def guided_sample(
+    pipe: GuidedPipeline,
+    key,
+    batch_size: int = 1,
+    init_image: Optional[jnp.ndarray] = None,
+    num_frames: int = 6,
+    progress_callback: Optional[Callable] = None,
+    progress_every: int = 5,
+):
+    """Run the full guided trajectory.
+
+    Returns (final_images, frames): final pred_xstart in [-1,1] NHWC and
+    `num_frames` evenly spaced trajectory frames (the reference's GIF
+    source, image_utils.py:45-73).
+
+    `progress_callback(step_index, image_batch)` — optional host hook fired
+    every `progress_every` steps via io_callback (the reference uploads the
+    current image every 5 steps, sample.py:297-303)."""
+    cfg = pipe.config
+    sampler = pipe.sampler
+    shape = (batch_size, cfg.height, cfg.width, 3)
+
+    start = pipe.schedule.num_steps - sampler.skip_timesteps - 1
+    steps_desc = jnp.arange(start, -1, -1)
+    n_steps = int(start) + 1
+
+    tables = schedule_tables(pipe.schedule)
+    k_init, k_scan = jax.random.split(key)
+    if init_image is not None:
+        init_image = jnp.asarray(init_image, jnp.float32)
+        noise = jax.random.normal(k_init, shape, jnp.float32)
+        x = q_sample(
+            jnp.broadcast_to(init_image, shape), tables, jnp.int32(start), noise
+        ).astype(jnp.float32)
+    else:
+        x = jax.random.normal(k_init, shape, jnp.float32)
+
+    step_fn, _ = build_guided_step(pipe, init_image)
+
+    # frame capture positions (host-side static): evenly spaced + final
+    frame_at = np.unique(
+        np.linspace(0, n_steps - 1, num_frames).astype(np.int64)
+    )
+    frame_table = np.full(n_steps, -1, dtype=np.int32)
+    for slot, pos in enumerate(frame_at):
+        frame_table[pos] = slot
+    frame_table = jnp.asarray(frame_table)
+    frames0 = jnp.zeros((len(frame_at),) + shape, jnp.float32)
+
+    def body(carry, args):
+        inner, frames, pos = carry
+        step = args
+        inner, pred_x0 = step_fn(inner, step, k_scan)
+        slot = frame_table[pos]
+        frames = jax.lax.cond(
+            slot >= 0,
+            lambda f: jax.lax.dynamic_update_index_in_dim(
+                f, pred_x0, jnp.maximum(slot, 0), 0
+            ),
+            lambda f: f,
+            frames,
+        )
+        if progress_callback is not None:
+            jax.lax.cond(
+                pos % progress_every == 0,
+                lambda: io_callback(
+                    progress_callback, None, pos, pred_x0, ordered=False
+                ),
+                lambda: None,
+            )
+        return (inner, frames, pos + 1), None
+
+    inner0 = (x, init_history(shape), jnp.int32(0))
+    (final_carry, frames, _), _ = jax.lax.scan(
+        body, (inner0, frames0, jnp.int32(0)), steps_desc
+    )
+    final_x = frames[-1]  # pred_x0 at the last step
+    return final_x, frames

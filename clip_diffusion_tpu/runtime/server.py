@@ -1,0 +1,180 @@
+"""HTTP serving layer — the Anvil-uplink replacement (reference L5).
+
+The reference exposes its pipelines through Anvil RPC from a Colab process
+(`connect_to_anvil` + `wait_forever`, reference utils/colab_helper.py:67-78;
+callables in utils/anvil_utils.py:36-95 and notebook cells 15-16), with
+progress polled from background-task state.
+
+Here the same surface is a dependency-free stdlib HTTP JSON API:
+
+    POST /guided_sample     kwargs of sample.guided_diffusion_sample
+    POST /latent_sample     kwargs of sample.latent_diffusion_sample
+    GET  /task_state        the progress key/value contract
+    GET  /seed              -> {"seed": "<uint32 as string>"}
+    POST /change_settings   Config knobs -> applied to subsequent requests
+    GET  /random_prompt
+    GET  /chosen_image?choice=N   PNG bytes (SR'd latent output)
+    POST /analyze_image     {"image_b64": ...} -> top-3 styles/media
+
+Requests run on a background worker thread (one at a time — the TPU is a
+serial resource, mirroring Anvil's serialized background tasks; SURVEY.md
+§5 race detection: nothing shared but TaskState, which is locked).
+"""
+
+from __future__ import annotations
+
+import base64
+import json
+import threading
+import traceback
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Optional
+from urllib.parse import parse_qs, urlparse
+
+from clip_diffusion_tpu.config import Config
+from clip_diffusion_tpu.parallel import serving
+from clip_diffusion_tpu.utils.progress import _GLOBAL_STATE
+
+
+class _Worker:
+    """Single background task slot (Anvil launch_background_task analog)."""
+
+    def __init__(self):
+        self._lock = threading.Lock()
+        self._thread: Optional[threading.Thread] = None
+        self.result = None
+        self.error = None
+
+    def launch(self, fn, kwargs) -> bool:
+        with self._lock:
+            if self._thread is not None and self._thread.is_alive():
+                return False
+            self.result = None
+            self.error = None
+
+            def run():
+                try:
+                    self.result = fn(**kwargs)
+                except Exception:  # noqa: BLE001 — reported via /task_state
+                    self.error = traceback.format_exc()
+
+            self._thread = threading.Thread(target=run, daemon=True)
+            self._thread.start()
+            return True
+
+    @property
+    def busy(self) -> bool:
+        return self._thread is not None and self._thread.is_alive()
+
+
+class ClipDiffusionServer:
+    def __init__(self, host="127.0.0.1", port=8080, config: Optional[Config] = None,
+                 guided_fn=None, latent_fn=None, analyzer=None):
+        from clip_diffusion_tpu import sample as sample_mod
+
+        self.config = config or Config()
+        self.guided_fn = guided_fn or sample_mod.guided_diffusion_sample
+        self.latent_fn = latent_fn or sample_mod.latent_diffusion_sample
+        self.analyzer = analyzer
+        self.worker = _Worker()
+        server = self
+
+        class Handler(BaseHTTPRequestHandler):
+            def log_message(self, *a):  # quiet
+                pass
+
+            def _json(self, code, obj):
+                body = json.dumps(obj).encode()
+                self.send_response(code)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def do_GET(self):
+                url = urlparse(self.path)
+                if url.path == "/seed":
+                    self._json(200, {"seed": serving.get_seed()})
+                elif url.path == "/task_state":
+                    state = _GLOBAL_STATE.snapshot()
+                    state["busy"] = server.worker.busy
+                    state["error"] = server.worker.error
+                    state["result"] = server.worker.result
+                    self._json(200, state)
+                elif url.path == "/random_prompt":
+                    self._json(200, {"prompt": serving.get_random_prompt()})
+                elif url.path == "/chosen_image":
+                    choice = int(parse_qs(url.query).get("choice", ["0"])[0])
+                    try:
+                        data = serving.get_chosen_image(choice)
+                    except FileNotFoundError:
+                        self._json(404, {"error": "no such image"})
+                        return
+                    self.send_response(200)
+                    self.send_header("Content-Type", "image/png")
+                    self.send_header("Content-Length", str(len(data)))
+                    self.end_headers()
+                    self.wfile.write(data)
+                else:
+                    self._json(404, {"error": "unknown endpoint"})
+
+            def _body(self):
+                n = int(self.headers.get("Content-Length", 0))
+                return json.loads(self.rfile.read(n) or b"{}")
+
+            def do_POST(self):
+                url = urlparse(self.path)
+                if url.path == "/guided_sample":
+                    kwargs = self._body()
+                    ok = server.worker.launch(
+                        server.guided_fn,
+                        {**kwargs, "config": server.config},
+                    )
+                    self._json(200 if ok else 409,
+                               {"started": ok} if ok else {"error": "busy"})
+                elif url.path == "/latent_sample":
+                    kwargs = self._body()
+                    ok = server.worker.launch(server.latent_fn, kwargs)
+                    self._json(200 if ok else 409,
+                               {"started": ok} if ok else {"error": "busy"})
+                elif url.path == "/change_settings":
+                    server.config = serving.change_settings(
+                        server.config, **self._body()
+                    )
+                    self._json(200, {"ok": True})
+                elif url.path == "/analyze_image":
+                    if server.analyzer is None:
+                        self._json(503, {"error": "analyzer not configured"})
+                        return
+                    import io
+
+                    import numpy as np
+                    from PIL import Image
+
+                    payload = self._body()
+                    raw = base64.b64decode(payload["image_b64"])
+                    img = np.asarray(
+                        Image.open(io.BytesIO(raw)).convert("RGB"),
+                        dtype=np.float32,
+                    ) / 255.0
+                    self._json(200, server.analyzer(img))
+                else:
+                    self._json(404, {"error": "unknown endpoint"})
+
+        self.httpd = ThreadingHTTPServer((host, port), Handler)
+
+    @property
+    def port(self) -> int:
+        return self.httpd.server_address[1]
+
+    def serve_forever(self):
+        """The reference's anvil.server.wait_forever analog."""
+        self.httpd.serve_forever()
+
+    def start_background(self):
+        t = threading.Thread(target=self.httpd.serve_forever, daemon=True)
+        t.start()
+        return t
+
+    def shutdown(self):
+        self.httpd.shutdown()

@@ -1,0 +1,260 @@
+"""Public sampling API — the reference's `sample.py` entry points, rebuilt.
+
+`guided_diffusion_sample` and `latent_diffusion_sample` keep the reference's
+knob names and semantics (reference sample.py:59-95 and 317-346) so a
+reference user can switch directly.  Differences by design:
+
+* `num_batches` images generate as ONE sharded batch instead of serially
+  re-iterating a generator (the reference's per-batch loop restarts an
+  exhausted generator — SURVEY.md §3 quirks; the intended behavior is
+  implemented here);
+* models are passed in (or built once lazily) instead of re-downloaded per
+  request (the reference reloads the UNet every call, sample.py:97-99);
+* progress flows through utils/progress.TaskState + Uploader hooks, which
+  reproduce the Anvil task-state key contract.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from clip_diffusion_tpu.config import Config
+from clip_diffusion_tpu.diffusion.sampling import SamplerConfig
+from clip_diffusion_tpu.pipeline.guided import guided_sample as _run_guided
+from clip_diffusion_tpu.pipeline.latent import (
+    LatentPipeline,
+    decode_latents,
+    latent_sample,
+)
+from clip_diffusion_tpu.text.prompt import Prompt
+from clip_diffusion_tpu.utils.image_io import (
+    array_to_image,
+    create_gif,
+    draw_index_on_grid_image,
+    load_image,
+    load_mask,
+    make_grid,
+    normalize_image_neg_one_to_one,
+)
+from clip_diffusion_tpu.utils.progress import (
+    LocalUploader,
+    StepTimer,
+    store_task_state,
+)
+from clip_diffusion_tpu.utils.seeds import random_seed
+from clip_diffusion_tpu.zoo import build_models, build_pipeline
+
+OUTPUT_PATH = "output_images"
+
+
+def guided_diffusion_sample(
+    prompt: str = "A cute golden retriever.",
+    use_auto_modifiers: bool = False,
+    num_modifiers: int = 1,
+    custom_model_params=None,
+    dynamic_thresholding_percentile: float = 0.995,
+    seed: Optional[int] = None,
+    init_image=None,
+    sample_mode: str = "ddim",
+    steps: int = 200,
+    skip_timesteps: int = 0,
+    eta: float = 0.8,
+    num_batches: int = 1,
+    gif_duration: int = 500,
+    config: Optional[Config] = None,
+    models=None,
+    modifier_bank=None,
+    uploader=None,
+    output_dir: str = OUTPUT_PATH,
+):
+    """CLIP-guided generation (reference sample.py:59-314).
+
+    Returns {"images": [paths], "gif_urls": [urls], "seed": int}.
+    `custom_model_params`: converted params for a finetuned UNet (the
+    reference's custom_model_path checkpoint selection, sample.py:64)."""
+    config = config or Config()
+    uploader = uploader or LocalUploader(output_dir)
+    batch_folder = os.path.join(output_dir, "guided")
+    os.makedirs(batch_folder, exist_ok=True)
+
+    p = Prompt(prompt, use_auto_modifiers, num_modifiers, modifier_bank)
+    if use_auto_modifiers:
+        store_task_state("new_prompt", p.text)
+
+    if models is None:
+        models = build_models(config, image_size=512,
+                              with_aesthetic=config.aesthetic_scale > 0)
+    if custom_model_params is not None:
+        models.unet_params = custom_model_params
+
+    if not seed:
+        seed = random_seed()
+    key = jax.random.PRNGKey(int(seed))
+
+    sampler = SamplerConfig(
+        mode=sample_mode,
+        steps=steps,
+        eta=eta,
+        skip_timesteps=skip_timesteps,
+        order=2,
+        dynamic_thresholding_percentile=dynamic_thresholding_percentile,
+    )
+    pipe = build_pipeline(models, config, [(p.text, p.weight)], sampler)
+
+    init_arr = None
+    if init_image is not None:
+        init_arr = normalize_image_neg_one_to_one(
+            load_image(init_image, (config.width, config.height))
+        )[None]
+
+    timer = StepTimer()
+
+    def progress_cb(pos, imgs):
+        timer.tick(5)
+        path = os.path.join(batch_folder, f"guided_progress_{int(pos):04}.png")
+        array_to_image((np.asarray(imgs[0]) + 1) / 2).save(path)
+        store_task_state("current_step", int(pos) + 1)
+        store_task_state("current_result", uploader.upload(path, minutes=10))
+
+    store_task_state("current_batch", 0)
+    store_task_state("current_result", None)
+    final, frames = _run_guided(
+        pipe,
+        key,
+        batch_size=num_batches,
+        init_image=init_arr,
+        progress_callback=progress_cb,
+        progress_every=5,
+    )
+    jax.effects_barrier()
+
+    image_paths = []
+    gif_urls = []
+    final_np = (np.asarray(final) + 1) / 2
+    frames_np = (np.asarray(frames) + 1) / 2
+    for b in range(num_batches):
+        img_path = os.path.join(batch_folder, f"guided_{b}.png")
+        array_to_image(final_np[b]).save(img_path)
+        image_paths.append(img_path)
+        gif_path = os.path.join(batch_folder, f"guided_{b}.gif")
+        create_gif(frames_np[:, b], gif_path, gif_duration)
+        gif_urls.append(uploader.upload(gif_path, minutes=10))
+    store_task_state("current_step", pipe.schedule.num_steps)
+    return {"images": image_paths, "gif_urls": gif_urls, "seed": int(seed)}
+
+
+def latent_diffusion_sample(
+    prompt: str = "A cute golden retriever.",
+    seed: Optional[int] = None,
+    init_image=None,
+    mask_image=None,
+    sample_mode: str = "ddim",
+    diffusion_steps: int = 50,
+    eta: float = 0.0,
+    latent_diffusion_guidance_scale: float = 5,
+    num_iterations: int = 3,
+    num_batches: int = 3,
+    sample_width: int = 256,
+    sample_height: int = 256,
+    pipe: Optional[LatentPipeline] = None,
+    text_encode=None,
+    upscaler=None,
+    uploader=None,
+    output_dir: str = OUTPUT_PATH,
+):
+    """Latent-diffusion txt2img / img2img / inpaint + SR (reference
+    sample.py:317-460).  Returns {"grid_url", "images", "seed"}.
+
+    `pipe` + `text_encode` must be supplied with converted LDM weights (or
+    test doubles); `upscaler(images01) -> images01` is the Real-ESRGAN hook
+    (models/esrgan.upscale partial)."""
+    if pipe is None or text_encode is None:
+        raise ValueError(
+            "latent_diffusion_sample needs a LatentPipeline and a "
+            "text_encode fn (see models/ldm + zoo)"
+        )
+    uploader = uploader or LocalUploader(output_dir)
+    batch_folder = os.path.join(output_dir, "latent")
+    os.makedirs(batch_folder, exist_ok=True)
+
+    p = Prompt(prompt, False, 0)
+    if not seed:
+        seed = random_seed()
+    key = jax.random.PRNGKey(int(seed))
+
+    ctx_cond = text_encode([p.text] * num_batches)
+    ctx_uncond = None
+    if latent_diffusion_guidance_scale > 0:
+        ctx_uncond = text_encode([""] * num_batches)
+
+    x0_latent = None
+    mask = None
+    if init_image is not None and mask_image is not None:
+        init_arr = normalize_image_neg_one_to_one(
+            load_image(init_image, (sample_width, sample_height))
+        )[None]
+        z = pipe.encode(jnp.asarray(init_arr))
+        x0_latent = jnp.repeat(z, num_batches, axis=0)
+        m = load_mask(
+            mask_image,
+            (sample_width // pipe.downsample, sample_height // pipe.downsample),
+        )[None]
+        mask = jnp.repeat(jnp.asarray(m), num_batches, axis=0)
+
+    all_images = []
+    count = 0
+    for iteration in range(num_iterations):
+        z = latent_sample(
+            pipe,
+            jax.random.fold_in(key, iteration),
+            ctx_cond,
+            ctx_uncond,
+            batch_size=num_batches,
+            height=sample_height,
+            width=sample_width,
+            steps=diffusion_steps,
+            guidance_scale=latent_diffusion_guidance_scale,
+            eta=eta,
+            mode=sample_mode,
+            x0_latent=x0_latent,
+            mask=mask,
+        )
+        images01 = np.asarray(decode_latents(pipe, z))
+        for img in images01:
+            path = os.path.join(batch_folder, f"latent_{count}.png")
+            array_to_image(img).save(path)
+            count += 1
+        store_task_state("current_iteration", iteration + 1)
+        all_images.append(images01)
+
+    stacked = np.concatenate(all_images, axis=0)
+    grid = make_grid(stacked, nrow=num_batches)
+    grid_img = draw_index_on_grid_image(
+        array_to_image(grid), num_iterations, num_batches,
+        sample_height, sample_width,
+    )
+    grid_path = os.path.join(batch_folder, "latent_grid_image.png")
+    grid_img.save(grid_path)
+    grid_url = uploader.upload(grid_path)
+
+    if upscaler is not None:
+        for i in range(count):
+            path = os.path.join(batch_folder, f"latent_{i}.png")
+            up = upscaler(load_image(path)[None])
+            os.makedirs(os.path.join(batch_folder, "sr"), exist_ok=True)
+            array_to_image(np.asarray(up)[0]).save(
+                os.path.join(batch_folder, "sr", f"latent_{i}.png")
+            )
+
+    return {
+        "grid_url": grid_url,
+        "images": [
+            os.path.join(batch_folder, f"latent_{i}.png") for i in range(count)
+        ],
+        "seed": int(seed),
+    }

@@ -1,0 +1,93 @@
+"""Tiny randomly-initialized model stack for tests, CI, and multi-chip
+dry-runs — same topology knobs as the flagship configuration (SURVEY.md §4
+"golden/parity: tiny-UNet fixture"), sized to run in seconds on CPU."""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from clip_diffusion_tpu.config import Config, CutoutSchedules, create_schedule
+from clip_diffusion_tpu.diffusion.sampling import SamplerConfig
+from clip_diffusion_tpu.diffusion.schedule import make_schedule
+from clip_diffusion_tpu.models.clip import CLIPModel, tiny_clip_config, tokenize
+from clip_diffusion_tpu.models.unet import UNetConfig, UNetModel
+from clip_diffusion_tpu.pipeline.guided import (
+    GuidedPipeline,
+    Perceptor,
+    guided_sample,
+)
+
+
+def tiny_config(**overrides) -> Config:
+    base = dict(
+        width=64,
+        height=64,
+        num_cutout_batches=1,
+        clip_guidance_scale=1000.0,
+        denoise_scale=100.0,
+        range_scale=10.0,
+        LPIPS_scale=0.0,
+        MS_SSIM_scale=0.0,
+        cutout_schedules=CutoutSchedules(
+            num_overview_cuts=create_schedule((2,), (1000,)),
+            num_inner_cuts=create_schedule((2,), (1000,)),
+            inner_cut_size_power=create_schedule((5,), (1000,)),
+            cut_gray_portion=create_schedule((0.5,), (1000,)),
+        ),
+    )
+    base.update(overrides)
+    return Config(**base)
+
+
+def build_tiny_pipeline(steps: int = 5, mode: str = "ddim",
+                        num_perceptors: int = 1):
+    """Returns (pipe, sample_fn) where sample_fn(pipe, key, batch) -> final
+    images — the canonical single entry used by sharding tests and
+    dryrun_multichip."""
+    cfg = tiny_config()
+    ucfg = UNetConfig.tiny(64)
+    unet = UNetModel(ucfg)
+    uparams = unet.init(
+        jax.random.PRNGKey(0), jnp.ones((1, 64, 64, 3)), jnp.zeros((1,))
+    )
+    uparams = jax.tree_util.tree_map(
+        lambda p: p
+        + 0.02 * jax.random.normal(jax.random.PRNGKey(42), p.shape, p.dtype),
+        uparams,
+    )
+
+    perceptors = []
+    for i in range(num_perceptors):
+        ccfg = tiny_clip_config(name=f"tiny{i}")
+        clip = CLIPModel(ccfg)
+        toks = jnp.asarray(tokenize(["a test prompt"]))
+        cparams = clip.init(
+            jax.random.PRNGKey(i + 1), jnp.ones((1, 32, 32, 3)), toks
+        )
+        text_emb = clip.apply(cparams, toks, method=CLIPModel.encode_text)
+        perceptors.append(
+            Perceptor(
+                name=ccfg.name,
+                embed_image=lambda im, c=clip, p=cparams: c.apply(
+                    p, im, method=CLIPModel.encode_image
+                ),
+                input_resolution=32,
+                text_embeddings=text_emb,
+                text_weights=jnp.ones((1,)),
+            )
+        )
+
+    pipe = GuidedPipeline(
+        unet_apply=lambda x, t: unet.apply(uparams, x, t),
+        perceptors=tuple(perceptors),
+        config=cfg,
+        sampler=SamplerConfig(mode=mode, steps=steps, eta=0.8),
+        schedule=make_schedule(steps=steps),
+    )
+
+    def sample_fn(p, key, batch_size):
+        final, _ = guided_sample(p, key, batch_size=batch_size)
+        return final
+
+    return pipe, sample_fn

@@ -1,0 +1,96 @@
+"""Prompt front end.
+
+Reference behavior (reference prompt.py:27-85): translate Chinese prompts
+to English, optionally retrieve the nearest artist/style modifier keywords
+(sentence-T5 embedding -> inner-product search over 120 modifiers) and
+append them plus ", trending on artstation.", then split "text:weight".
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Callable, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from clip_diffusion_tpu.text.retrieval import EmbeddingIndex
+from clip_diffusion_tpu.text.zh import translate_zh_to_en
+
+ARTSTATION_SUFFIX = ", trending on artstation."
+
+
+class ModifierBank:
+    """Modifier keywords + their sentence embeddings + an encoder.
+
+    The reference ships data/csv/modifiers.csv (120 keywords) with
+    precomputed sentence-T5 embeddings and a faiss index (reference
+    prompt.py:18-24); here the bank loads (keywords list, (N,D) .npy)
+    from `CLIP_DIFFUSION_DATA` or explicit paths, and the query encoder is
+    injectable (sentence-T5 where available, any text-embedding fn
+    otherwise)."""
+
+    def __init__(
+        self,
+        keywords: Sequence[str],
+        embeddings: np.ndarray,
+        encoder: Callable[[str], np.ndarray],
+    ):
+        assert len(keywords) == embeddings.shape[0]
+        self.keywords = list(keywords)
+        self.index = EmbeddingIndex(embeddings)
+        self.encoder = encoder
+
+    @staticmethod
+    def from_files(
+        keywords_path: str, embeddings_path: str,
+        encoder: Callable[[str], np.ndarray],
+    ) -> "ModifierBank":
+        with open(keywords_path, encoding="utf-8") as f:
+            keywords = [line.strip() for line in f if line.strip()]
+        return ModifierBank(keywords, np.load(embeddings_path), encoder)
+
+    def topk(self, prompt: str, k: int) -> Tuple[np.ndarray, List[str]]:
+        emb = np.asarray(self.encoder(prompt), np.float32).reshape(1, -1)
+        scores, idx = self.index.search(emb, k)
+        return scores[0], [self.keywords[i] for i in idx[0]]
+
+
+class Prompt:
+    """Reference-compatible Prompt: `.text` and `.weight` after
+    preprocessing (reference prompt.py:27-33).
+
+    "text:weight" syntax parses a trailing float weight, defaulting to 1.0
+    (reference prompt.py:80-85)."""
+
+    def __init__(
+        self,
+        prompt: str,
+        use_auto_modifiers: bool = False,
+        num_modifiers: int = 1,
+        modifier_bank: Optional[ModifierBank] = None,
+        translator: Optional[Callable[[str], str]] = None,
+    ):
+        if not isinstance(prompt, str):
+            raise TypeError("prompt has to be 'str' type")
+        self.prompt = self._preprocess(
+            prompt, use_auto_modifiers, num_modifiers, modifier_bank,
+            translator,
+        )
+        self.text, self.weight = self._parse_weight(self.prompt)
+
+    def _preprocess(self, prompt, use_auto_modifiers, num_modifiers,
+                    bank, translator):
+        prompt = translate_zh_to_en(prompt, translator)
+        if use_auto_modifiers and bank is not None:
+            _, keywords = bank.topk(prompt, num_modifiers)
+            for kw in keywords:
+                prompt += f", {kw}"
+            prompt += ARTSTATION_SUFFIX
+        return prompt
+
+    @staticmethod
+    def _parse_weight(prompt: str) -> Tuple[str, float]:
+        parsed = prompt.split(":", 1)
+        if len(parsed) == 1:
+            return parsed[0], 1.0
+        return parsed[0], float(parsed[1])

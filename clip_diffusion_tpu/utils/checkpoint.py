@@ -1,0 +1,71 @@
+"""Checkpointing: model params + sampling-state resume.
+
+The reference's only checkpointing is model-file download-with-cache
+(reference models.py:41-64) and the skip_timesteps+init_image trajectory
+restart (reference sample.py:70-71,257-258; SURVEY.md §5).  Here:
+
+* model parameter trees persist via orbax (save_params/load_params);
+* true mid-trajectory resume: `SamplingState` captures (x_t, step, key,
+  eps history) so a preempted pod job continues bit-exactly — the per-step
+  RNG is fold_in(key, step), independent of how many steps already ran.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def save_params(path: str, params) -> None:
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(path)
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(path, params, force=True)
+    ckptr.wait_until_finished()
+
+
+def load_params(path: str, template=None):
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.StandardCheckpointer()
+    if template is not None:
+        return ckptr.restore(os.path.abspath(path), template)
+    return ckptr.restore(os.path.abspath(path))
+
+
+@dataclasses.dataclass
+class SamplingState:
+    """Mid-trajectory sampler state for preemption-safe resume."""
+
+    x: Any  # (B,H,W,C) current x_t
+    step: int  # next respaced step index to execute (counts down)
+    eps_history: Any  # (3,B,H,W,C) PLMS ring
+    history_count: int
+    base_seed: int
+
+    def save(self, path: str) -> None:
+        np.savez(
+            path,
+            x=np.asarray(self.x),
+            step=self.step,
+            eps_history=np.asarray(self.eps_history),
+            history_count=self.history_count,
+            base_seed=self.base_seed,
+        )
+
+    @staticmethod
+    def load(path: str) -> "SamplingState":
+        z = np.load(path)
+        return SamplingState(
+            x=jnp.asarray(z["x"]),
+            step=int(z["step"]),
+            eps_history=jnp.asarray(z["eps_history"]),
+            history_count=int(z["history_count"]),
+            base_seed=int(z["base_seed"]),
+        )

@@ -1,0 +1,163 @@
+"""Pipeline factory: assemble the flagship guided pipeline from the model
+zoo.
+
+Mirrors the reference's loader layer (reference models.py:74-240 +
+sample.py:52-56 module-load): pick CLIP perceptors by name, build the ADM
+UNet for the configured canvas, attach aesthetic heads, embed the prompt per
+perceptor.  Checkpoints load through models/convert.py when available;
+otherwise parameters are randomly initialized (identical program/FLOPs — how
+benches and tests run in this zero-egress environment).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from clip_diffusion_tpu.config import Config
+from clip_diffusion_tpu.diffusion.sampling import SamplerConfig
+from clip_diffusion_tpu.diffusion.schedule import make_schedule
+from clip_diffusion_tpu.models.aesthetic import CLIP_DIMS, make_aesthetic_predictor
+from clip_diffusion_tpu.models.clip import (
+    CLIP_PRESETS,
+    CLIPModel,
+    tokenize,
+)
+from clip_diffusion_tpu.models.unet import UNetConfig, UNetModel
+from clip_diffusion_tpu.pipeline.guided import GuidedPipeline, Perceptor
+
+
+def _cast_tree(tree, dtype):
+    return jax.tree_util.tree_map(
+        lambda x: x.astype(dtype) if jnp.issubdtype(x.dtype, jnp.floating) else x,
+        tree,
+    )
+
+
+@dataclasses.dataclass
+class ZooModels:
+    """Initialized models + params, reusable across prompts/requests."""
+
+    unet: UNetModel
+    unet_params: dict
+    clips: Dict[str, Tuple[CLIPModel, dict]]
+    aesthetic: Dict[str, Tuple[object, dict]]
+
+
+def _host_init(init_fn, *args, param_dtype=jnp.bfloat16, seed: int = 0):
+    """Random-init parameters HOST-SIDE as numpy and let jit transfer them
+    to the accelerator once.  On-device init of a 552M-param tree through
+    this environment's TPU tunnel costs minutes (hundreds of tiny RNG
+    dispatches); shape-eval + one vectorized host RNG pass costs seconds."""
+    shapes = jax.eval_shape(init_fn, *args)
+    rng = np.random.default_rng(seed)
+    paths, treedef = jax.tree_util.tree_flatten_with_path(shapes)
+    out = []
+    for path, leaf in paths:
+        name = str(getattr(path[-1], "key", ""))
+        if not jnp.issubdtype(leaf.dtype, jnp.floating):
+            out.append(np.zeros(leaf.shape, leaf.dtype))
+        elif name in ("scale",) or "var" in name:
+            out.append(np.ones(leaf.shape, param_dtype))
+        elif name in ("bias", "mean"):
+            out.append(np.zeros(leaf.shape, param_dtype))
+        else:
+            fan_in = int(np.prod(leaf.shape[:-1])) or 1
+            arr = rng.normal(0.0, 1.0 / np.sqrt(fan_in), leaf.shape)
+            out.append(np.asarray(arr, dtype=param_dtype))
+    return jax.tree_util.tree_unflatten(treedef, out)
+
+
+def build_models(
+    config: Config,
+    image_size: int = 512,
+    param_dtype=jnp.bfloat16,
+    seed: int = 0,
+    with_aesthetic: bool = False,
+) -> ZooModels:
+    """Random-init the flagship model set (checkpoint loading: convert.py).
+
+    Initialization happens host-side (see _host_init) — random weights only
+    exist in this zero-egress environment; production paths overwrite them
+    with converted checkpoints anyway, so init statistics don't matter."""
+    key = jax.random.PRNGKey(seed)
+    ucfg = UNetConfig.for_image_size(image_size)
+    unet = UNetModel(ucfg)
+    uparams = _host_init(
+        lambda: unet.init(key, jnp.ones((1, 64, 64, 3)), jnp.zeros((1,))),
+        param_dtype=param_dtype, seed=seed,
+    )
+
+    clips = {}
+    aesthetic = {}
+    for i, name in enumerate(config.chosen_clip_models):
+        ccfg = CLIP_PRESETS[name]
+        model = CLIPModel(ccfg)
+        params = _host_init(
+            lambda m=model, c=ccfg, i=i: m.init(
+                jax.random.fold_in(key, i + 1),
+                jnp.ones((1, c.image_resolution, c.image_resolution, 3)),
+                jnp.ones((1, 77), jnp.int32),
+            ),
+            param_dtype=param_dtype, seed=seed + i + 1,
+        )
+        clips[name] = (model, params)
+        if with_aesthetic and name in config.chosen_predictors and name in CLIP_DIMS:
+            head = make_aesthetic_predictor(name)
+            hp = head.init(
+                jax.random.fold_in(key, 100 + i),
+                jnp.ones((1, CLIP_DIMS[name])),
+            )
+            aesthetic[name] = (head, hp)
+    return ZooModels(unet, uparams, clips, aesthetic)
+
+
+def build_pipeline(
+    models: ZooModels,
+    config: Config,
+    prompts: Sequence[Tuple[str, float]],
+    sampler: SamplerConfig,
+    lpips_fn=None,
+) -> GuidedPipeline:
+    """Wire prompt embeddings + perceptors into a GuidedPipeline.
+
+    `prompts`: (text, weight) pairs — the reference's "text:weight" syntax
+    parsed upstream (reference prompt.py:80-85, preprocessing.py:11-24)."""
+    texts = [t for t, _ in prompts]
+    weights = jnp.asarray([w for _, w in prompts], jnp.float32)
+    if float(jnp.abs(weights).sum()) < 1e-3:
+        raise RuntimeError("The text_weights must not sum to 0.")
+    toks = jnp.asarray(tokenize(texts))
+
+    perceptors = []
+    for name, (model, params) in models.clips.items():
+        text_emb = model.apply(params, toks, method=CLIPModel.encode_text)
+        aes_fn = None
+        if name in models.aesthetic:
+            head, hp = models.aesthetic[name]
+            aes_fn = lambda e, h=head, p=hp: h.apply(p, e)
+        perceptors.append(
+            Perceptor(
+                name=name,
+                embed_image=lambda im, m=model, p=params: m.apply(
+                    p, im, method=CLIPModel.encode_image
+                ),
+                input_resolution=CLIP_PRESETS[name].image_resolution,
+                text_embeddings=text_emb,
+                text_weights=weights,
+                aesthetic_fn=aes_fn,
+            )
+        )
+
+    return GuidedPipeline(
+        unet_apply=lambda x, t, m=models: m.unet.apply(m.unet_params, x, t),
+        perceptors=tuple(perceptors),
+        config=config,
+        sampler=sampler,
+        schedule=make_schedule(steps=sampler.steps),
+        lpips_fn=lpips_fn,
+    )

@@ -1,0 +1,142 @@
+import os
+
+import numpy as np
+import pytest
+
+from clip_diffusion_tpu.text.prompt import ModifierBank, Prompt
+from clip_diffusion_tpu.text.retrieval import EmbeddingIndex, _native_lib
+from clip_diffusion_tpu.text.zh import contains_zh, tw_to_simplified
+from clip_diffusion_tpu.parallel.serving import (
+    AnalysisBank,
+    analyze_image,
+    change_settings,
+    get_random_prompt,
+    get_seed,
+)
+from clip_diffusion_tpu.config import Config
+
+
+# ---------------- retrieval ----------------
+
+def test_embedding_index_topk_exact():
+    rng = np.random.default_rng(0)
+    base = rng.normal(size=(120, 16)).astype(np.float32)
+    q = rng.normal(size=(3, 16)).astype(np.float32)
+    idx = EmbeddingIndex(base, use_native=False)
+    scores, ids = idx.search(q, 5)
+    ref = q @ base.T
+    for i in range(3):
+        expected = np.argsort(-ref[i])[:5]
+        np.testing.assert_array_equal(ids[i], expected)
+        np.testing.assert_allclose(scores[i], ref[i][expected], rtol=1e-6)
+
+
+def test_native_index_matches_numpy():
+    if _native_lib() is None:
+        pytest.skip("native libipindex.so not built")
+    rng = np.random.default_rng(1)
+    base = rng.normal(size=(397, 768)).astype(np.float32)
+    q = rng.normal(size=(4, 768)).astype(np.float32)
+    nat = EmbeddingIndex(base, use_native=True)
+    ref = EmbeddingIndex(base, use_native=False)
+    s1, i1 = nat.search(q, 3)
+    s2, i2 = ref.search(q, 3)
+    np.testing.assert_array_equal(i1, i2)
+    np.testing.assert_allclose(s1, s2, rtol=1e-5)
+
+
+def test_index_k_clamped():
+    base = np.eye(4, dtype=np.float32)
+    idx = EmbeddingIndex(base, use_native=False)
+    scores, ids = idx.search(np.ones((1, 4), np.float32), 10)
+    assert ids.shape == (1, 4)
+
+
+# ---------------- prompt ----------------
+
+def test_contains_zh():
+    assert contains_zh("一隻可愛的貓")
+    assert not contains_zh("a cute cat")
+
+
+def test_tw_to_simplified_fallback():
+    out = tw_to_simplified("學習")  # chars in the fallback table? 學 not in
+    assert isinstance(out, str) and len(out) == 2
+
+
+def test_prompt_weight_parsing():
+    p = Prompt("a cute dog:3.5")
+    assert p.text == "a cute dog"
+    assert p.weight == 3.5
+    p2 = Prompt("no weight here")
+    assert p2.weight == 1.0
+
+
+def test_prompt_rejects_non_str():
+    with pytest.raises(TypeError):
+        Prompt(123)
+
+
+def test_prompt_modifiers_appended():
+    rng = np.random.default_rng(0)
+    embs = rng.normal(size=(5, 8)).astype(np.float32)
+    keywords = [f"kw{i}" for i in range(5)]
+
+    def encoder(text):
+        return embs[2] + 0.01  # always nearest to kw2
+
+    bank = ModifierBank(keywords, embs, encoder)
+    p = Prompt("a castle", use_auto_modifiers=True, num_modifiers=2,
+               modifier_bank=bank)
+    assert "kw2" in p.text
+    assert p.text.endswith(", trending on artstation.")
+
+
+def test_prompt_english_passthrough():
+    p = Prompt("an english prompt")
+    assert p.text == "an english prompt"
+
+
+# ---------------- serving surface ----------------
+
+def test_get_seed_is_string():
+    s = get_seed()
+    assert isinstance(s, str)
+    assert 0 <= int(s) < 2**32
+
+
+def test_change_settings_immutable():
+    cfg = Config()
+    cfg2 = change_settings(cfg, clip_guidance_scale=123, width=640)
+    assert cfg2.clip_guidance_scale == 123
+    assert cfg2.width == 640
+    assert cfg.clip_guidance_scale == 8000  # original untouched
+
+
+def test_get_random_prompt_local_bank():
+    p = get_random_prompt()
+    assert isinstance(p, str) and len(p) > 10
+
+
+def test_analyze_image():
+    import jax
+
+    rng = np.random.default_rng(2)
+    d = 16
+    styles = rng.normal(size=(7, d)).astype(np.float32)
+    media = rng.normal(size=(4, d)).astype(np.float32)
+    bank = AnalysisBank(
+        styles={"m": styles},
+        media={"m": media},
+        style_names=[f"style{i}" for i in range(7)],
+        media_names=[f"media{i}" for i in range(4)],
+    )
+
+    def embed(img_batch):
+        return np.asarray(styles[3] * 10)[None]  # strongly style3
+
+    img = rng.uniform(0, 1, (64, 48, 3)).astype(np.float32)
+    out = analyze_image(img, {"m": embed}, bank, top_k=3)
+    assert len(out["styles"]) == 3
+    assert out["styles"][0][1] == "style3"
+    assert len(out["media"]) == 3

@@ -1,0 +1,168 @@
+#!/usr/bin/env python
+"""Fetch public checkpoints and convert them to Flax trees.
+
+Run in a NETWORKED environment (the build/CI container here is zero-egress).
+Downloads the same public artifacts the reference uses (URLs mirrored from
+reference models.py:11-30 + tokenizer assets), converts each torch state
+dict with models/convert.py, and stores orbax checkpoints under
+models/flax/.
+
+Usage:
+    python tools/fetch_and_convert.py --all
+    python tools/fetch_and_convert.py --unet --clip ViT-B/32
+"""
+
+import argparse
+import os
+import sys
+import urllib.request
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+MODEL_DIR = "models"
+FLAX_DIR = os.path.join(MODEL_DIR, "flax")
+
+ARTIFACTS = {
+    "unet": (
+        "https://huggingface.co/lowlevelware/512x512_diffusion_unconditional_"
+        "ImageNet/resolve/main/512x512_diffusion_uncond_finetune_008100.pt",
+        "512x512_diffusion_uncond_finetune_008100.pt",
+    ),
+    "ldm": (
+        "https://huggingface.co/multimodalart/compvis-latent-diffusion-"
+        "text2img-large/resolve/main/txt2img-f8-large-jack000-finetuned-fp16.ckpt",
+        "txt2img-f8-large-jack000-finetuned-fp16.ckpt",
+    ),
+    "esrgan_x4": (
+        "https://github.com/xinntao/Real-ESRGAN/releases/download/v0.1.0/"
+        "RealESRGAN_x4plus.pth",
+        "RealESRGAN_x4plus.pth",
+    ),
+    "esrgan_x2": (
+        "https://github.com/xinntao/Real-ESRGAN/releases/download/v0.2.1/"
+        "RealESRGAN_x2plus.pth",
+        "RealESRGAN_x2plus.pth",
+    ),
+    "bpe": (
+        "https://github.com/openai/CLIP/raw/main/clip/bpe_simple_vocab_16e6"
+        ".txt.gz",
+        os.path.join("data", "bpe_simple_vocab_16e6.txt.gz"),
+    ),
+    "bert_vocab": (
+        "https://huggingface.co/bert-base-uncased/resolve/main/vocab.txt",
+        os.path.join("data", "bert-base-uncased-vocab.txt"),
+    ),
+}
+
+AESTHETIC = {
+    "ViT-B/32": (
+        "https://github.com/crowsonkb/simulacra-aesthetic-models/raw/master/"
+        "models/sac_public_2022_06_29_vit_b_32_linear.pth",
+        "sac_public_2022_06_29_vit_b_32_linear.pth",
+    ),
+    "ViT-B/16": (
+        "https://github.com/crowsonkb/simulacra-aesthetic-models/raw/master/"
+        "models/sac_public_2022_06_29_vit_b_16_linear.pth",
+        "sac_public_2022_06_29_vit_b_16_linear.pth",
+    ),
+    "ViT-L/14": (
+        "https://github.com/christophschuhmann/improved-aesthetic-predictor/"
+        "raw/main/sac%2Blogos%2Bava1-l14-linearMSE.pth",
+        "sac+logos+ava1-l14-linearMSE.pth",
+    ),
+}
+
+CLIP_JIT = {
+    # OpenAI CLIP distribution (jit archives; load with torch and take
+    # state_dict()).
+    "ViT-B/32": "https://openaipublic.azureedge.net/clip/models/40d365715913c9da98579312b702a82c18be219cc2a73407c4526f58eba950af/ViT-B-32.pt",
+    "ViT-B/16": "https://openaipublic.azureedge.net/clip/models/5806e77cd80f8b59890b7e101eabd078d9fb84e6937f9e85e4ecb61988df416f/ViT-B-16.pt",
+    "ViT-L/14": "https://openaipublic.azureedge.net/clip/models/b8cca3fd41ae0c99ba7e8951adf17d267cdb84cd88be6f7c2e0eca1737a03836/ViT-L-14.pt",
+    "RN101": "https://openaipublic.azureedge.net/clip/models/8fa8567bab74a42d41c5915025a8e4538c3bdbe8804a470a72f30b0d94fab599/RN101.pt",
+    "RN50": "https://openaipublic.azureedge.net/clip/models/afeb0e10f9e5a86da6080e35cf09123aca3b358a0c3e3b6c78a7b63bc04b6762/RN50.pt",
+}
+
+
+def _download(url: str, dest: str):
+    os.makedirs(os.path.dirname(dest) or ".", exist_ok=True)
+    if os.path.exists(dest):
+        print(f"cached: {dest}")
+        return dest
+    print(f"downloading {url} -> {dest}")
+    tmp = dest + ".tmp"
+    opener = urllib.request.build_opener()
+    opener.addheaders = [("User-Agent", "Mozilla/5.0")]
+    with opener.open(url) as src, open(tmp, "wb") as out:
+        while True:
+            buf = src.read(1 << 16)
+            if not buf:
+                break
+            out.write(buf)
+    os.rename(tmp, dest)
+    return dest
+
+
+def convert_unet_ckpt(path: str):
+    from clip_diffusion_tpu.models.convert import (
+        convert_unet,
+        load_torch_state_dict,
+    )
+    from clip_diffusion_tpu.utils.checkpoint import save_params
+
+    params = convert_unet(load_torch_state_dict(path))
+    out = os.path.join(FLAX_DIR, "guided_unet_512")
+    save_params(out, params)
+    print(f"converted -> {out}")
+
+
+def convert_clip_ckpt(name: str, path: str):
+    import torch
+
+    from clip_diffusion_tpu.models.convert import convert_clip
+    from clip_diffusion_tpu.utils.checkpoint import save_params
+
+    model = torch.jit.load(path, map_location="cpu")
+    sd = {k: v for k, v in model.state_dict().items()}
+    params = convert_clip(sd)
+    out = os.path.join(FLAX_DIR, f"clip_{name.replace('/', '_')}")
+    save_params(out, params)
+    print(f"converted -> {out}")
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--all", action="store_true")
+    p.add_argument("--unet", action="store_true")
+    p.add_argument("--ldm", action="store_true")
+    p.add_argument("--esrgan", action="store_true")
+    p.add_argument("--aesthetic", action="store_true")
+    p.add_argument("--vocab", action="store_true")
+    p.add_argument("--clip", action="append", default=[])
+    args = p.parse_args()
+
+    os.makedirs(FLAX_DIR, exist_ok=True)
+    if args.all or args.vocab:
+        _download(*ARTIFACTS["bpe"])
+        _download(*ARTIFACTS["bert_vocab"])
+    if args.all or args.unet:
+        url, name = ARTIFACTS["unet"]
+        convert_unet_ckpt(_download(url, os.path.join(MODEL_DIR, name)))
+    clips = list(CLIP_JIT) if args.all else args.clip
+    for name in clips:
+        path = _download(
+            CLIP_JIT[name],
+            os.path.join(MODEL_DIR, f"CLIP_{name.replace('/', '_')}.pt"),
+        )
+        convert_clip_ckpt(name, path)
+    if args.all or args.esrgan:
+        for k in ("esrgan_x4", "esrgan_x2"):
+            url, name = ARTIFACTS[k]
+            _download(url, os.path.join(MODEL_DIR, name))
+    if args.all or args.aesthetic:
+        for name, (url, fname) in AESTHETIC.items():
+            _download(url, os.path.join(MODEL_DIR, fname))
+    print("done")
+
+
+if __name__ == "__main__":
+    main()
