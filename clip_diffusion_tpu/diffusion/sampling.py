@@ -47,6 +47,9 @@ class SamplerConfig:
     skip_timesteps: int = 0
     order: int = 2  # PLMS multistep order (reference sample.py:274)
     dynamic_thresholding_percentile: float = 0.995
+    # "histogram": O(n) approximate quantile (ops/quantile.py, error <1e-3);
+    # "sort": exact jnp.quantile (the reference's torch.quantile semantics)
+    thresholding_method: str = "histogram"
 
 
 def schedule_tables(sched: NoiseSchedule, dtype=jnp.float32) -> Dict[str, Any]:

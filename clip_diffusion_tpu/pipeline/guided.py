@@ -216,9 +216,16 @@ def build_guided_step(pipe: GuidedPipeline,
 
         # sampler path: threshold pred_x0, re-derive eps, condition on the
         # guidance gradient (guided-diffusion condition_score order)
-        pred_x0_thr = dynamic_threshold(
-            pred_x0_raw, sampler.dynamic_thresholding_percentile
-        )
+        if sampler.thresholding_method == "histogram":
+            from clip_diffusion_tpu.ops.quantile import dynamic_threshold_fast
+
+            pred_x0_thr = dynamic_threshold_fast(
+                pred_x0_raw, sampler.dynamic_thresholding_percentile
+            )
+        else:
+            pred_x0_thr = dynamic_threshold(
+                pred_x0_raw, sampler.dynamic_thresholding_percentile
+            )
         eps_thr = predict_eps_from_xstart(x, pred_x0_thr, tables, step)
         eps_cond = condition_eps(eps_thr, guidance, tables, step)
         pred_x0_final = predict_xstart_from_eps(x, eps_cond, tables, step)
