@@ -161,3 +161,88 @@ def build_pipeline(
         schedule=make_schedule(steps=sampler.steps),
         lpips_fn=lpips_fn,
     )
+
+
+@dataclasses.dataclass
+class LatentModels:
+    """The LDM stack (reference models.py:134-150): cross-attention UNet +
+    VQ-f8 first stage + BERT text encoder, with params."""
+
+    unet: object
+    unet_params: dict
+    vq: object
+    vq_params: dict
+    bert: object
+    bert_params: dict
+
+
+def build_latent_models(param_dtype=jnp.bfloat16, seed: int = 0,
+                        tiny: bool = False) -> LatentModels:
+    """Random-init the LDM txt2img-f8-large stack (converted checkpoints
+    overwrite via convert + orbax)."""
+    from clip_diffusion_tpu.models.ldm import (
+        BERTConfig,
+        BERTEmbedder,
+        LDMUNet,
+        LDMUNetConfig,
+        VQConfig,
+        VQModel,
+    )
+
+    ucfg = LDMUNetConfig.tiny() if tiny else LDMUNetConfig()
+    vcfg = VQConfig.tiny() if tiny else VQConfig()
+    bcfg = BERTConfig.tiny() if tiny else BERTConfig()
+    # tiny BERT width must match the tiny UNet context dim
+    if tiny:
+        bcfg = dataclasses.replace(bcfg, n_embed=ucfg.context_dim)
+
+    unet = LDMUNet(ucfg)
+    unet_params = _host_init(
+        lambda: unet.init(
+            jax.random.PRNGKey(seed),
+            jnp.ones((1, 8, 8, ucfg.in_channels)),
+            jnp.zeros((1,)),
+            jnp.ones((1, 4, ucfg.context_dim)),
+        ),
+        param_dtype=param_dtype, seed=seed,
+    )
+    vq = VQModel(vcfg)
+    vq_params = _host_init(
+        lambda: vq.init(
+            jax.random.PRNGKey(seed + 1),
+            jnp.ones((1, vcfg.resolution, vcfg.resolution, 3)),
+        ),
+        param_dtype=jnp.float32, seed=seed + 1,
+    )
+    bert = BERTEmbedder(bcfg)
+    bert_params = _host_init(
+        lambda: bert.init(
+            jax.random.PRNGKey(seed + 2), jnp.ones((1, 77), jnp.int32)
+        ),
+        param_dtype=param_dtype, seed=seed + 2,
+    )
+    return LatentModels(unet, unet_params, vq, vq_params, bert, bert_params)
+
+
+def build_latent_pipeline(models: LatentModels):
+    """(LatentPipeline, text_encode) ready for sample.latent_diffusion_sample."""
+    from clip_diffusion_tpu.models.ldm.autoencoder import VQModel
+    from clip_diffusion_tpu.models.ldm.bert import bert_tokenize
+    from clip_diffusion_tpu.pipeline.latent import LatentPipeline
+
+    downsample = 2 ** (len(models.vq.cfg.ch_mult) - 1)
+    pipe = LatentPipeline(
+        unet_apply=lambda x, t, c: models.unet.apply(models.unet_params, x, t, c),
+        decode=lambda z: models.vq.apply(models.vq_params, z,
+                                         method=VQModel.decode),
+        encode=lambda x: models.vq.apply(models.vq_params, x,
+                                         method=VQModel.encode),
+        latent_channels=models.vq.cfg.embed_dim,
+        downsample=downsample,
+    )
+
+    def text_encode(texts):
+        toks = jnp.asarray(bert_tokenize(texts))
+        return models.bert.apply(models.bert_params, toks)
+
+    return pipe, text_encode

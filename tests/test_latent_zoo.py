@@ -1,0 +1,68 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from clip_diffusion_tpu.zoo import build_latent_models, build_latent_pipeline
+
+
+@pytest.fixture(scope="module")
+def latent_stack():
+    models = build_latent_models(tiny=True, param_dtype=jnp.float32)
+    return build_latent_pipeline(models)
+
+
+def test_latent_end_to_end_txt2img(latent_stack):
+    """Full LDM path: BERT encode -> CFG latent scan -> VQ decode."""
+    from clip_diffusion_tpu.pipeline.latent import decode_latents, latent_sample
+
+    pipe, text_encode = latent_stack
+    ctx_c = text_encode(["a test prompt"] * 2)
+    ctx_u = text_encode([""] * 2)
+    assert ctx_c.shape[0] == 2 and ctx_c.shape[1] == 77
+    z = latent_sample(
+        pipe, jax.random.PRNGKey(0), ctx_c, ctx_u,
+        batch_size=2, height=32, width=32, steps=5, guidance_scale=5.0,
+    )
+    assert z.shape == (2, 16, 16, 4)
+    imgs = decode_latents(pipe, z)
+    assert imgs.shape == (2, 32, 32, 3)
+    assert np.isfinite(np.asarray(imgs)).all()
+    assert 0.0 <= float(imgs.min()) and float(imgs.max()) <= 1.0
+
+
+def test_latent_img2img_encode(latent_stack):
+    import jax.numpy as jnp
+
+    pipe, _ = latent_stack
+    img = jax.random.uniform(jax.random.PRNGKey(1), (1, 32, 32, 3),
+                             minval=-1.0, maxval=1.0)
+    z = pipe.encode(img)
+    assert z.shape == (1, 16, 16, 4)
+
+
+def test_public_latent_api(tmp_path, latent_stack):
+    from clip_diffusion_tpu.sample import latent_diffusion_sample
+
+    pipe, text_encode = latent_stack
+    out = latent_diffusion_sample(
+        prompt="a tiny test",
+        seed=7,
+        diffusion_steps=4,
+        num_iterations=2,
+        num_batches=2,
+        sample_width=32,
+        sample_height=32,
+        pipe=pipe,
+        text_encode=text_encode,
+        output_dir=str(tmp_path),
+    )
+    import os
+
+    assert len(out["images"]) == 4  # 2 iterations x 2 batch
+    for p in out["images"]:
+        assert os.path.exists(p)
+    assert out["grid_url"].startswith("file://")
+    from clip_diffusion_tpu.utils.progress import get_task_state
+
+    assert get_task_state("current_iteration") == 2
