@@ -58,7 +58,7 @@ def bench_flagship(args):
     )
     sampler = SamplerConfig(mode="ddim", steps=args.steps, eta=0.8)
     models = build_models(config, image_size=512, param_dtype=jnp.bfloat16)
-    pipe = build_pipeline(
+    pipe, params = build_pipeline(
         models, config, [("a beautiful landscape painting", 1.0)], sampler
     )
 
@@ -68,11 +68,13 @@ def bench_flagship(args):
     x = jax.random.normal(key, shape, jnp.float32)
     carry = (x, init_history(shape), jnp.int32(0))
 
-    jit_step = jax.jit(lambda c, s: step_fn(c, s, key))
+    # params flow as jit ARGUMENTS (closures would serialize 1.4GB of
+    # weights into the HLO; see pipeline/guided.py docstring)
+    jit_step = jax.jit(lambda p, c, s: step_fn(p, c, s, key))
 
     # warmup/compile (early schedule phase = max cutout count phase)
     t0 = time.time()
-    c, _ = jit_step(carry, jnp.int32(args.steps - 1))
+    c, _ = jit_step(params, carry, jnp.int32(args.steps - 1))
     jax.block_until_ready(c)
     compile_s = time.time() - t0
 
@@ -80,7 +82,7 @@ def bench_flagship(args):
     t0 = time.time()
     cur = c
     for i in range(args.measure):
-        cur, _ = jit_step(cur, jnp.int32(args.steps - 2 - i))
+        cur, _ = jit_step(params, cur, jnp.int32(args.steps - 2 - i))
     jax.block_until_ready(cur)
     per_step = (time.time() - t0) / args.measure
 
@@ -112,9 +114,9 @@ def bench_smoke(args):
 
     from clip_diffusion_tpu.tests_support import build_tiny_pipeline
 
-    pipe, sample_fn = build_tiny_pipeline(steps=5)
+    pipe, params, sample_fn = build_tiny_pipeline(steps=5)
     t0 = time.time()
-    out = sample_fn(pipe, jax.random.PRNGKey(0), 2)
+    out = sample_fn(pipe, params, jax.random.PRNGKey(0), 2)
     jax.block_until_ready(out)
     elapsed = time.time() - t0
     return {

@@ -126,6 +126,31 @@ def convert_rrdbnet(state_dict) -> dict:
     return {"params": params}
 
 
+def super_resolution_folder(model: RRDBNet, params, folder: str,
+                            exception_paths=(), tile: int = 0):
+    """Upscale every PNG in `folder` except `exception_paths`, writing to
+    <folder>/sr/ (reference image_utils.py:133-155 semantics)."""
+    import os
+
+    import numpy as np
+
+    from clip_diffusion_tpu.utils.dirs import list_images, make_dir
+    from clip_diffusion_tpu.utils.image_io import array_to_image, load_image
+
+    out_dir = make_dir(os.path.join(folder, "sr"))
+    skip = {os.path.abspath(p) for p in exception_paths}
+    written = []
+    for path in list_images(folder):
+        if os.path.abspath(path) in skip:
+            continue
+        img = load_image(path)[None]
+        up = np.asarray(upscale(model, params, img, tile=tile))[0]
+        dest = os.path.join(out_dir, os.path.basename(path))
+        array_to_image(up).save(dest)
+        written.append(dest)
+    return written
+
+
 def upscale(model: RRDBNet, params, images01, tile: int = 0):
     """RealESRGANer.enhance equivalent: NHWC [0,1] -> upscaled [0,1].
 

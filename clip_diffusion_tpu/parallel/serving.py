@@ -119,6 +119,7 @@ def analyze_image(
 
 def serve_guided_batch(
     pipe,
+    params,
     prompts_count: int,
     seeds_per_prompt: int,
     base_seed: int = 0,
@@ -138,7 +139,7 @@ def serve_guided_batch(
 
     out_sh = batch_sharding(mesh)
     final, frames = jax.jit(
-        lambda k: guided_sample(pipe, k, batch_size=batch),
+        lambda p, k: guided_sample(pipe, p, k, batch_size=batch),
         out_shardings=(out_sh, None),
-    )(key)
+    )(params, key)
     return final, frames

@@ -29,6 +29,13 @@ Here the whole per-timestep body is a single XLA program inside `lax.scan`:
   exactly like the reference (its cond_fn calls p_mean_variance *without*
   denoised_fn; sample.py:149-154 vs 116-132).
 
+Parameter flow (IMPORTANT): all model parameters travel through the jit
+boundary as a `GuidedParams` pytree ARGUMENT — never as Python closures.
+Closed-over weights get serialized into the HLO as constants (a ~2 GB
+program for the 552M UNet), which breaks ahead-of-time/remote compilation
+and bloats every cache entry.  `GuidedPipeline` itself holds only pure
+functions and static metadata.
+
 Batching: images are NHWC with a leading batch of independent seeds/prompts
 (the reference is locked to batch 1 and generates `num_batches` serially,
 sample.py:246-251,278; here the batch axis is first-class and shards across
@@ -38,7 +45,8 @@ chips, see parallel/).
 from __future__ import annotations
 
 import dataclasses
-from typing import Callable, Dict, Optional, Sequence, Tuple
+import functools
+from typing import Any, Callable, Dict, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -76,28 +84,42 @@ from clip_diffusion_tpu.models.unet import split_model_output
 
 @dataclasses.dataclass(frozen=True)
 class Perceptor:
-    """One CLIP model wired for guidance: an embed function, the prompt
-    embeddings/weights it scores against, and an optional aesthetic head."""
+    """One CLIP model wired for guidance.  Pure functions only — the
+    parameters live in GuidedParams.perceptors[i]."""
 
     name: str
-    embed_image: Callable  # CLIP-normalized (N,S,S,3) -> (N,D)
+    embed_image: Callable  # (clip_params, CLIP-normalized (N,S,S,3)) -> (N,D)
     input_resolution: int
-    text_embeddings: jnp.ndarray  # (P, D)
-    text_weights: jnp.ndarray  # (P,)
-    aesthetic_fn: Optional[Callable] = None  # (N,D)->(N,1)
+    aesthetic_fn: Optional[Callable] = None  # (aes_params, (N,D)) -> (N,1)
 
 
-@dataclasses.dataclass(frozen=True)
+class GuidedParams(Dict[str, Any]):
+    """Parameter/data pytree passed through jit as an argument:
+
+    {
+      "unet": <unet params>,
+      "perceptors": [
+         {"clip": <params>, "aesthetic": <params or ()>,
+          "text_embeddings": (P,D), "text_weights": (P,)},
+         ...
+      ],
+      "init_image": (1,H,W,3) or (),   # [-1,1] init/LPIPS target
+    }
+    """
+
+
+@dataclasses.dataclass(frozen=True, eq=False)  # identity hash (lru keys)
 class GuidedPipeline:
-    """Everything needed to run guided sampling, pre-bound and hashable
-    enough to live in jit closures."""
+    """Static pipeline description: pure apply functions + config.  Safe to
+    close over in jit (contains no arrays)."""
 
-    unet_apply: Callable  # (x NHWC, t (B,)) -> (B,H,W,2C)
+    unet_apply: Callable  # (unet_params, x NHWC, t (B,)) -> (B,H,W,2C)
     perceptors: Tuple[Perceptor, ...]
     config: Config
     sampler: SamplerConfig
     schedule: NoiseSchedule
-    lpips_fn: Optional[Callable] = None  # (x, y) -> (B,)
+    lpips_fn: Optional[Callable] = None  # (lpips_params, x, y) -> (B,)
+    use_init_losses: bool = False  # LPIPS/MS-SSIM terms active
 
     def cutout_spec(self, resolution: int) -> CutoutSpec:
         cs = self.config.cutout_schedules
@@ -115,19 +137,17 @@ def _schedule_index(tables, step):
     return jnp.clip(999 - jnp.floor(t_scaled).astype(jnp.int32), 0, 999)
 
 
-def make_guidance_loss(pipe: GuidedPipeline, tables, sched_arrays,
-                       init_image: Optional[jnp.ndarray]):
-    """Build loss(x, step, key) -> (scalar, aux) differentiating w.r.t. x.
-
-    The scalar sums per-image losses (batch elements are independent, so
-    d(sum)/dx gives each image its own gradient)."""
+def make_guidance_loss(pipe: GuidedPipeline, tables, sched_arrays):
+    """Build loss(params, x, step, key) -> (scalar, aux), differentiated
+    w.r.t. x.  The scalar sums per-image losses (batch elements are
+    independent, so d(sum)/dx gives each image its own gradient)."""
     cfg = pipe.config
     n_ov_table, n_in_table, power_table, gray_table = sched_arrays
 
-    def loss_fn(x, step, key):
+    def loss_fn(x, params, step, key):
         b = x.shape[0]
         t_scaled = jnp.broadcast_to(tables["scaled_timesteps"][step], (b,))
-        model_out = pipe.unet_apply(x, t_scaled)
+        model_out = pipe.unet_apply(params["unet"], x, t_scaled)
         eps, var_raw = split_model_output(model_out)
         pred_x0 = predict_xstart_from_eps(x, eps, tables, step)
 
@@ -144,6 +164,7 @@ def make_guidance_loss(pipe: GuidedPipeline, tables, sched_arrays,
         total = jnp.float32(0.0)
         if cfg.clip_guidance_scale > 0:
             for pi, perc in enumerate(pipe.perceptors):
+                pp = params["perceptors"][pi]
                 pkey = jax.random.fold_in(key, pi)
                 spec = pipe.cutout_spec(perc.input_resolution)
                 cuts, w = make_cutouts_batch(
@@ -152,27 +173,33 @@ def make_guidance_loss(pipe: GuidedPipeline, tables, sched_arrays,
                 )  # (B, N, S, S, 3), (B, N)
                 n = cuts.shape[1]
                 embs = perc.embed_image(
-                    clip_normalize(cuts.reshape((b * n,) + cuts.shape[2:]))
+                    pp["clip"],
+                    clip_normalize(cuts.reshape((b * n,) + cuts.shape[2:])),
                 ).reshape(b, n, -1)
                 # (B, N, P) spherical distances against weighted prompts
                 d = square_spherical_distance_loss(
                     embs[:, :, None, :],
-                    perc.text_embeddings[None, None, :, :],
+                    pp["text_embeddings"][None, None, :, :],
                 )
-                weighted = jnp.sum(d * perc.text_weights[None, None, :], axis=-1)
+                weighted = jnp.sum(
+                    d * pp["text_weights"][None, None, :], axis=-1
+                )
                 total += cfg.clip_guidance_scale * jnp.sum(w * weighted)
                 if perc.aesthetic_fn is not None and cfg.aesthetic_scale > 0:
-                    scores = perc.aesthetic_fn(l2_normalize(embs, axis=-1))[..., 0]
+                    scores = perc.aesthetic_fn(
+                        pp["aesthetic"], l2_normalize(embs, axis=-1)
+                    )[..., 0]
                     total -= cfg.aesthetic_scale * jnp.sum(w * scores)
 
         if cfg.denoise_scale > 0:
             total += cfg.denoise_scale * jnp.sum(total_variational_loss(denoised))
         if cfg.range_scale > 0:
             total += cfg.range_scale * jnp.sum(rgb_range_loss(denoised))
-        if init_image is not None:
+        if pipe.use_init_losses:
+            init_image = params["init_image"]
             if pipe.lpips_fn is not None and cfg.LPIPS_scale > 0:
                 total += cfg.LPIPS_scale * jnp.sum(
-                    pipe.lpips_fn(denoised, init_image)
+                    pipe.lpips_fn(params.get("lpips", ()), denoised, init_image)
                 )
             if cfg.MS_SSIM_scale > 0:
                 total += cfg.MS_SSIM_scale * jnp.sum(
@@ -192,9 +219,9 @@ def _clamp_guidance_grad(grad, threshold):
     return grad * jnp.clip(mag, None, threshold) / jnp.maximum(mag, 1e-12)
 
 
-def build_guided_step(pipe: GuidedPipeline,
-                      init_image: Optional[jnp.ndarray] = None):
-    """Build the scan body: (carry, step_index) -> (carry, pred_x0).
+def build_guided_step(pipe: GuidedPipeline):
+    """Build the scan body: (params, carry, step_index, base_key) ->
+    (carry, pred_x0).
 
     carry = (x, eps_history, history_count); RNG is derived per step from a
     base key folded with the step index (independent of scan order)."""
@@ -202,16 +229,18 @@ def build_guided_step(pipe: GuidedPipeline,
     sched_arrays = tuple(
         jnp.asarray(a) for a in pipe.config.cutout_schedules.as_arrays()
     )
-    loss_fn = make_guidance_loss(pipe, tables, sched_arrays, init_image)
+    loss_fn = make_guidance_loss(pipe, tables, sched_arrays)
     grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
     sampler = pipe.sampler
 
-    def step_fn(carry, step, base_key):
+    def step_fn(params, carry, step, base_key):
         x, eps_hist, hist_count = carry
         key = jax.random.fold_in(base_key, step)
         k_cut, k_noise = jax.random.split(key)
 
-        (loss, (eps, var_raw, pred_x0_raw)), grad = grad_fn(x, step, k_cut)
+        (loss, (eps, var_raw, pred_x0_raw)), grad = grad_fn(
+            x, params, step, k_cut
+        )
         guidance = _clamp_guidance_grad(-grad, pipe.config.grad_threshold)
 
         # sampler path: threshold pred_x0, re-derive eps, condition on the
@@ -247,6 +276,7 @@ def build_guided_step(pipe: GuidedPipeline,
 
 def guided_sample(
     pipe: GuidedPipeline,
+    params: Dict[str, Any],
     key,
     batch_size: int = 1,
     init_image: Optional[jnp.ndarray] = None,
@@ -275,6 +305,8 @@ def guided_sample(
     k_init, k_scan = jax.random.split(key)
     if init_image is not None:
         init_image = jnp.asarray(init_image, jnp.float32)
+        params = dict(params)
+        params["init_image"] = init_image
         noise = jax.random.normal(k_init, shape, jnp.float32)
         x = q_sample(
             jnp.broadcast_to(init_image, shape), tables, jnp.int32(start), noise
@@ -282,44 +314,64 @@ def guided_sample(
     else:
         x = jax.random.normal(k_init, shape, jnp.float32)
 
-    step_fn, _ = build_guided_step(pipe, init_image)
+    runner = _get_runner(
+        pipe, n_steps, num_frames, progress_callback, progress_every
+    )
+    frames = runner(params, x, k_scan)
+    final_x = frames[-1]  # pred_x0 at the last step
+    return final_x, frames
+
+
+@functools.lru_cache(maxsize=64)
+def _get_runner(pipe, n_steps, num_frames, progress_callback, progress_every):
+    """One jitted trajectory runner per (pipeline, loop-config) — cached so
+    repeated requests reuse the compiled program."""
+    step_fn, _ = build_guided_step(pipe)
+    start = n_steps - 1
+    steps_desc = jnp.arange(start, -1, -1)
 
     # frame capture positions (host-side static): evenly spaced + final
     frame_at = np.unique(
         np.linspace(0, n_steps - 1, num_frames).astype(np.int64)
     )
-    frame_table = np.full(n_steps, -1, dtype=np.int32)
+    frame_table_np = np.full(n_steps, -1, dtype=np.int32)
     for slot, pos in enumerate(frame_at):
-        frame_table[pos] = slot
-    frame_table = jnp.asarray(frame_table)
-    frames0 = jnp.zeros((len(frame_at),) + shape, jnp.float32)
+        frame_table_np[pos] = slot
+    frame_table = jnp.asarray(frame_table_np)
+    n_frames_eff = len(frame_at)
 
-    def body(carry, args):
-        inner, frames, pos = carry
-        step = args
-        inner, pred_x0 = step_fn(inner, step, k_scan)
-        slot = frame_table[pos]
-        frames = jax.lax.cond(
-            slot >= 0,
-            lambda f: jax.lax.dynamic_update_index_in_dim(
-                f, pred_x0, jnp.maximum(slot, 0), 0
-            ),
-            lambda f: f,
-            frames,
-        )
-        if progress_callback is not None:
-            jax.lax.cond(
-                pos % progress_every == 0,
-                lambda: io_callback(
-                    progress_callback, None, pos, pred_x0, ordered=False
+    def run(params, x, base_key):
+        shape = x.shape
+        frames0 = jnp.zeros((n_frames_eff,) + shape, jnp.float32)
+
+        def body(carry, step_and_pos):
+            inner, frames = carry
+            step, pos = step_and_pos
+            inner, pred_x0 = step_fn(params, inner, step, base_key)
+            slot = frame_table[pos]
+            frames = jax.lax.cond(
+                slot >= 0,
+                lambda f: jax.lax.dynamic_update_index_in_dim(
+                    f, pred_x0, jnp.maximum(slot, 0), 0
                 ),
-                lambda: None,
+                lambda f: f,
+                frames,
             )
-        return (inner, frames, pos + 1), None
+            if progress_callback is not None:
+                jax.lax.cond(
+                    pos % progress_every == 0,
+                    lambda: io_callback(
+                        progress_callback, None, pos, pred_x0, ordered=False
+                    ),
+                    lambda: None,
+                )
+            return (inner, frames), None
 
-    inner0 = (x, init_history(shape), jnp.int32(0))
-    (final_carry, frames, _), _ = jax.lax.scan(
-        body, (inner0, frames0, jnp.int32(0)), steps_desc
-    )
-    final_x = frames[-1]  # pred_x0 at the last step
-    return final_x, frames
+        inner0 = (x, init_history(shape), jnp.int32(0))
+        positions = jnp.arange(n_steps)
+        (final_carry, frames), _ = jax.lax.scan(
+            body, (inner0, frames0), (steps_desc, positions)
+        )
+        return frames
+
+    return jax.jit(run)

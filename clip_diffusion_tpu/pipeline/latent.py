@@ -75,8 +75,13 @@ def ldm_ddim_tables(steps: int, eta: float):
 
 @dataclasses.dataclass(frozen=True)
 class LatentPipeline:
-    """unet_apply(x, t, context) -> eps; decode(z) -> pixels [-1,1];
-    encode(img) -> latents (both first-stage fns optional for tests)."""
+    """Pure functions + static metadata (parameters travel through jit as
+    the `params` argument of latent_sample — closures would embed them as
+    HLO constants, see pipeline/guided.py docstring):
+
+    unet_apply(unet_params, x, t, context) -> eps
+    decode(vq_params, z) -> pixels [-1,1]; encode(vq_params, img) -> latents
+    """
 
     unet_apply: Callable
     decode: Optional[Callable] = None
@@ -87,6 +92,7 @@ class LatentPipeline:
 
 def latent_sample(
     pipe: LatentPipeline,
+    params,
     key,
     context_cond,
     context_uncond=None,
@@ -115,17 +121,22 @@ def latent_sample(
 
     use_cfg = context_uncond is not None and guidance_scale > 0
 
-    def model_eps(x, t_val):
+    def model_eps(all_params, ctx_c, ctx_u, x, t_val):
+        unet_params = (
+            all_params["unet"]
+            if isinstance(all_params, dict) and "unet" in all_params
+            else all_params
+        )
         b = x.shape[0]
         t = jnp.full((b,), t_val, jnp.float32)
         if use_cfg:
             x2 = jnp.concatenate([x, x], axis=0)
             t2 = jnp.concatenate([t, t], axis=0)
-            ctx = jnp.concatenate([context_uncond, context_cond], axis=0)
-            eps2 = pipe.unet_apply(x2, t2, ctx)
+            ctx = jnp.concatenate([ctx_u, ctx_c], axis=0)
+            eps2 = pipe.unet_apply(unet_params, x2, t2, ctx)
             eps_uc, eps_c = jnp.split(eps2, 2, axis=0)
             return eps_uc + guidance_scale * (eps_c - eps_uc)
-        return pipe.unet_apply(x, t, context_cond)
+        return pipe.unet_apply(unet_params, x, t, ctx_c)
 
     if x0_latent is not None:
         x0_latent = jnp.asarray(x0_latent, jnp.float32)
@@ -133,56 +144,70 @@ def latent_sample(
         mask = jnp.asarray(mask, jnp.float32)
 
     k_init, k_scan = jax.random.split(key)
-    x = jax.random.normal(k_init, shape, jnp.float32)
+    x0_init = jax.random.normal(k_init, shape, jnp.float32)
+    inpaint = mask is not None and x0_latent is not None
 
-    def body(carry, i):
-        x, hist, cnt = carry
-        step_key = jax.random.fold_in(k_scan, i)
-        a = tables["alphas"][i]
-        a_prev = tables["alphas_prev"][i]
-        sqrt_1ma = tables["sqrt_one_minus_alphas"][i]
-        sigma = tables["sigmas"][i]
-        t_val = tables["timesteps"][i].astype(jnp.float32)
+    def run(params, ctx_c, ctx_u, x, x0_lat, msk):
+        def body(carry, i):
+            x, hist, cnt = carry
+            step_key = jax.random.fold_in(k_scan, i)
+            a = tables["alphas"][i]
+            a_prev = tables["alphas_prev"][i]
+            sqrt_1ma = tables["sqrt_one_minus_alphas"][i]
+            sigma = tables["sigmas"][i]
+            t_val = tables["timesteps"][i].astype(jnp.float32)
 
-        if mask is not None and x0_latent is not None:
-            # re-noise the known region to the current step and paste
-            noise = jax.random.normal(
-                jax.random.fold_in(step_key, 1), x.shape, x.dtype
-            )
-            x_orig = jnp.sqrt(a) * x0_latent + sqrt_1ma * noise
-            x = x_orig * mask + (1.0 - mask) * x
+            if inpaint:
+                # re-noise the known region to the current step and paste
+                noise = jax.random.normal(
+                    jax.random.fold_in(step_key, 1), x.shape, x.dtype
+                )
+                x_orig = jnp.sqrt(a) * x0_lat + sqrt_1ma * noise
+                x = x_orig * msk + (1.0 - msk) * x
 
-        eps = model_eps(x, t_val)
-        if mode == "plms":
-            eps_use = plms_eps(eps, hist, cnt, order)
-            hist = push_history(eps, hist)
-            cnt = cnt + 1
-        else:
-            eps_use = eps
-        pred_x0 = (x - sqrt_1ma * eps_use) / jnp.sqrt(a)
-        dir_xt = jnp.sqrt(jnp.maximum(1.0 - a_prev - sigma**2, 0.0)) * eps_use
-        noise = sigma * jax.random.normal(step_key, x.shape, x.dtype)
-        x_prev = jnp.sqrt(a_prev) * pred_x0 + dir_xt + noise
-        return (x_prev, hist, cnt), None
+            eps = model_eps(params, ctx_c, ctx_u, x, t_val)
+            if mode == "plms":
+                eps_use = plms_eps(eps, hist, cnt, order)
+                hist = push_history(eps, hist)
+                cnt = cnt + 1
+            else:
+                eps_use = eps
+            pred_x0 = (x - sqrt_1ma * eps_use) / jnp.sqrt(a)
+            dir_xt = jnp.sqrt(
+                jnp.maximum(1.0 - a_prev - sigma**2, 0.0)
+            ) * eps_use
+            noise = sigma * jax.random.normal(step_key, x.shape, x.dtype)
+            x_prev = jnp.sqrt(a_prev) * pred_x0 + dir_xt + noise
+            return (x_prev, hist, cnt), None
 
-    steps_desc = jnp.arange(steps - 1, -1, -1)
-    (x, _, _), _ = jax.lax.scan(
-        body, (x, init_history(shape), jnp.int32(0)), steps_desc
+        steps_desc = jnp.arange(steps - 1, -1, -1)
+        (x, _, _), _ = jax.lax.scan(
+            body, (x, init_history(shape), jnp.int32(0)), steps_desc
+        )
+        return x
+
+    zeros = jnp.zeros(shape, jnp.float32)
+    return jax.jit(run)(
+        params,
+        context_cond,
+        context_uncond if use_cfg else jnp.zeros_like(context_cond),
+        x0_init,
+        x0_latent if inpaint else zeros,
+        mask if inpaint else zeros[..., :1],
     )
-    return x
 
 
-def img2img_start(pipe: LatentPipeline, image):
+def img2img_start(pipe: LatentPipeline, params, image):
     """Encode an init image into latents (reference sample.py:383-388)."""
     if pipe.encode is None:
         raise ValueError("pipeline has no first-stage encoder")
-    return pipe.encode(image)
+    return pipe.encode(params, image)
 
 
-def decode_latents(pipe: LatentPipeline, latents):
+def decode_latents(pipe: LatentPipeline, params, latents):
     """Latents -> [0,1] pixels (reference decodes then denormalizes,
     sample.py:422-423)."""
     if pipe.decode is None:
         raise ValueError("pipeline has no first-stage decoder")
-    x = pipe.decode(latents)
+    x = pipe.decode(params, latents)
     return jnp.clip((x + 1.0) / 2.0, 0.0, 1.0)

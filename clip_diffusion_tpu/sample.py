@@ -104,13 +104,15 @@ def guided_diffusion_sample(
         order=2,
         dynamic_thresholding_percentile=dynamic_thresholding_percentile,
     )
-    pipe = build_pipeline(models, config, [(p.text, p.weight)], sampler)
-
     init_arr = None
     if init_image is not None:
         init_arr = normalize_image_neg_one_to_one(
             load_image(init_image, (config.width, config.height))
         )[None]
+    pipe, params = build_pipeline(
+        models, config, [(p.text, p.weight)], sampler,
+        use_init_losses=init_arr is not None and config.MS_SSIM_scale > 0,
+    )
 
     timer = StepTimer()
 
@@ -125,6 +127,7 @@ def guided_diffusion_sample(
     store_task_state("current_result", None)
     final, frames = _run_guided(
         pipe,
+        params,
         key,
         batch_size=num_batches,
         init_image=init_arr,
@@ -162,6 +165,7 @@ def latent_diffusion_sample(
     sample_width: int = 256,
     sample_height: int = 256,
     pipe: Optional[LatentPipeline] = None,
+    latent_params=None,
     text_encode=None,
     upscaler=None,
     uploader=None,
@@ -173,10 +177,10 @@ def latent_diffusion_sample(
     `pipe` + `text_encode` must be supplied with converted LDM weights (or
     test doubles); `upscaler(images01) -> images01` is the Real-ESRGAN hook
     (models/esrgan.upscale partial)."""
-    if pipe is None or text_encode is None:
+    if pipe is None or text_encode is None or latent_params is None:
         raise ValueError(
-            "latent_diffusion_sample needs a LatentPipeline and a "
-            "text_encode fn (see models/ldm + zoo)"
+            "latent_diffusion_sample needs a LatentPipeline, its params, "
+            "and a text_encode fn (see models/ldm + zoo.build_latent_pipeline)"
         )
     uploader = uploader or LocalUploader(output_dir)
     batch_folder = os.path.join(output_dir, "latent")
@@ -198,7 +202,7 @@ def latent_diffusion_sample(
         init_arr = normalize_image_neg_one_to_one(
             load_image(init_image, (sample_width, sample_height))
         )[None]
-        z = pipe.encode(jnp.asarray(init_arr))
+        z = pipe.encode(latent_params["vq"], jnp.asarray(init_arr))
         x0_latent = jnp.repeat(z, num_batches, axis=0)
         m = load_mask(
             mask_image,
@@ -211,6 +215,7 @@ def latent_diffusion_sample(
     for iteration in range(num_iterations):
         z = latent_sample(
             pipe,
+            latent_params,
             jax.random.fold_in(key, iteration),
             ctx_cond,
             ctx_uncond,
@@ -224,7 +229,7 @@ def latent_diffusion_sample(
             x0_latent=x0_latent,
             mask=mask,
         )
-        images01 = np.asarray(decode_latents(pipe, z))
+        images01 = np.asarray(decode_latents(pipe, latent_params["vq"], z))
         for img in images01:
             path = os.path.join(batch_folder, f"latent_{count}.png")
             array_to_image(img).save(path)

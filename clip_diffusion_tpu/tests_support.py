@@ -58,6 +58,7 @@ def build_tiny_pipeline(steps: int = 5, mode: str = "ddim",
     )
 
     perceptors = []
+    perceptor_params = []
     for i in range(num_perceptors):
         ccfg = tiny_clip_config(name=f"tiny{i}")
         clip = CLIPModel(ccfg)
@@ -69,25 +70,32 @@ def build_tiny_pipeline(steps: int = 5, mode: str = "ddim",
         perceptors.append(
             Perceptor(
                 name=ccfg.name,
-                embed_image=lambda im, c=clip, p=cparams: c.apply(
+                embed_image=lambda p, im, c=clip: c.apply(
                     p, im, method=CLIPModel.encode_image
                 ),
                 input_resolution=32,
-                text_embeddings=text_emb,
-                text_weights=jnp.ones((1,)),
             )
+        )
+        perceptor_params.append(
+            {
+                "clip": cparams,
+                "aesthetic": (),
+                "text_embeddings": text_emb,
+                "text_weights": jnp.ones((1,)),
+            }
         )
 
     pipe = GuidedPipeline(
-        unet_apply=lambda x, t: unet.apply(uparams, x, t),
+        unet_apply=lambda p, x, t: unet.apply(p, x, t),
         perceptors=tuple(perceptors),
         config=cfg,
         sampler=SamplerConfig(mode=mode, steps=steps, eta=0.8),
         schedule=make_schedule(steps=steps),
     )
+    params = {"unet": uparams, "perceptors": perceptor_params}
 
-    def sample_fn(p, key, batch_size):
-        final, _ = guided_sample(p, key, batch_size=batch_size)
+    def sample_fn(p, prms, key, batch_size):
+        final, _ = guided_sample(p, prms, key, batch_size=batch_size)
         return final
 
-    return pipe, sample_fn
+    return pipe, params, sample_fn

@@ -122,11 +122,15 @@ def build_pipeline(
     prompts: Sequence[Tuple[str, float]],
     sampler: SamplerConfig,
     lpips_fn=None,
-) -> GuidedPipeline:
-    """Wire prompt embeddings + perceptors into a GuidedPipeline.
+    use_init_losses: bool = False,
+):
+    """Wire prompt embeddings + perceptors into (GuidedPipeline, params).
 
     `prompts`: (text, weight) pairs — the reference's "text:weight" syntax
-    parsed upstream (reference prompt.py:80-85, preprocessing.py:11-24)."""
+    parsed upstream (reference prompt.py:80-85, preprocessing.py:11-24).
+
+    Returns the static pipeline plus the GuidedParams pytree that must be
+    passed through jit as an ARGUMENT (see pipeline/guided.py docstring)."""
     texts = [t for t, _ in prompts]
     weights = jnp.asarray([w for _, w in prompts], jnp.float32)
     if float(jnp.abs(weights).sum()) < 1e-3:
@@ -134,33 +138,48 @@ def build_pipeline(
     toks = jnp.asarray(tokenize(texts))
 
     perceptors = []
+    perceptor_params = []
     for name, (model, params) in models.clips.items():
         text_emb = model.apply(params, toks, method=CLIPModel.encode_text)
         aes_fn = None
+        aes_params = ()
         if name in models.aesthetic:
             head, hp = models.aesthetic[name]
-            aes_fn = lambda e, h=head, p=hp: h.apply(p, e)
+            aes_fn = lambda p, e, h=head: h.apply(p, e)
+            aes_params = hp
         perceptors.append(
             Perceptor(
                 name=name,
-                embed_image=lambda im, m=model, p=params: m.apply(
+                embed_image=lambda p, im, m=model: m.apply(
                     p, im, method=CLIPModel.encode_image
                 ),
                 input_resolution=CLIP_PRESETS[name].image_resolution,
-                text_embeddings=text_emb,
-                text_weights=weights,
                 aesthetic_fn=aes_fn,
             )
         )
+        perceptor_params.append(
+            {
+                "clip": params,
+                "aesthetic": aes_params,
+                "text_embeddings": text_emb,
+                "text_weights": weights,
+            }
+        )
 
-    return GuidedPipeline(
-        unet_apply=lambda x, t, m=models: m.unet.apply(m.unet_params, x, t),
+    pipe = GuidedPipeline(
+        unet_apply=lambda p, x, t, mod=models.unet: mod.apply(p, x, t),
         perceptors=tuple(perceptors),
         config=config,
         sampler=sampler,
         schedule=make_schedule(steps=sampler.steps),
         lpips_fn=lpips_fn,
+        use_init_losses=use_init_losses,
     )
+    params = {
+        "unet": models.unet_params,
+        "perceptors": perceptor_params,
+    }
+    return pipe, params
 
 
 @dataclasses.dataclass
@@ -225,24 +244,26 @@ def build_latent_models(param_dtype=jnp.bfloat16, seed: int = 0,
 
 
 def build_latent_pipeline(models: LatentModels):
-    """(LatentPipeline, text_encode) ready for sample.latent_diffusion_sample."""
+    """(LatentPipeline, params, text_encode) — params is the pytree passed
+    through jit as an argument (see pipeline/guided.py docstring)."""
     from clip_diffusion_tpu.models.ldm.autoencoder import VQModel
     from clip_diffusion_tpu.models.ldm.bert import bert_tokenize
     from clip_diffusion_tpu.pipeline.latent import LatentPipeline
 
     downsample = 2 ** (len(models.vq.cfg.ch_mult) - 1)
+    unet_mod, vq_mod, bert_mod = models.unet, models.vq, models.bert
     pipe = LatentPipeline(
-        unet_apply=lambda x, t, c: models.unet.apply(models.unet_params, x, t, c),
-        decode=lambda z: models.vq.apply(models.vq_params, z,
-                                         method=VQModel.decode),
-        encode=lambda x: models.vq.apply(models.vq_params, x,
-                                         method=VQModel.encode),
+        unet_apply=lambda p, x, t, c: unet_mod.apply(p, x, t, c),
+        decode=lambda p, z: vq_mod.apply(p, z, method=VQModel.decode),
+        encode=lambda p, x: vq_mod.apply(p, x, method=VQModel.encode),
         latent_channels=models.vq.cfg.embed_dim,
         downsample=downsample,
     )
+    params = {"unet": models.unet_params, "vq": models.vq_params,
+              "bert": models.bert_params}
 
-    def text_encode(texts):
+    def text_encode(texts, _p=params):
         toks = jnp.asarray(bert_tokenize(texts))
-        return models.bert.apply(models.bert_params, toks)
+        return jax.jit(bert_mod.apply)(_p["bert"], toks)
 
-    return pipe, text_encode
+    return pipe, params, text_encode

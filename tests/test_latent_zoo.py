@@ -16,16 +16,16 @@ def test_latent_end_to_end_txt2img(latent_stack):
     """Full LDM path: BERT encode -> CFG latent scan -> VQ decode."""
     from clip_diffusion_tpu.pipeline.latent import decode_latents, latent_sample
 
-    pipe, text_encode = latent_stack
+    pipe, lparams, text_encode = latent_stack
     ctx_c = text_encode(["a test prompt"] * 2)
     ctx_u = text_encode([""] * 2)
     assert ctx_c.shape[0] == 2 and ctx_c.shape[1] == 77
     z = latent_sample(
-        pipe, jax.random.PRNGKey(0), ctx_c, ctx_u,
+        pipe, lparams, jax.random.PRNGKey(0), ctx_c, ctx_u,
         batch_size=2, height=32, width=32, steps=5, guidance_scale=5.0,
     )
     assert z.shape == (2, 16, 16, 4)
-    imgs = decode_latents(pipe, z)
+    imgs = decode_latents(pipe, lparams["vq"], z)
     assert imgs.shape == (2, 32, 32, 3)
     assert np.isfinite(np.asarray(imgs)).all()
     assert 0.0 <= float(imgs.min()) and float(imgs.max()) <= 1.0
@@ -34,17 +34,17 @@ def test_latent_end_to_end_txt2img(latent_stack):
 def test_latent_img2img_encode(latent_stack):
     import jax.numpy as jnp
 
-    pipe, _ = latent_stack
+    pipe, lparams, _ = latent_stack
     img = jax.random.uniform(jax.random.PRNGKey(1), (1, 32, 32, 3),
                              minval=-1.0, maxval=1.0)
-    z = pipe.encode(img)
+    z = pipe.encode(lparams["vq"], img)
     assert z.shape == (1, 16, 16, 4)
 
 
 def test_public_latent_api(tmp_path, latent_stack):
     from clip_diffusion_tpu.sample import latent_diffusion_sample
 
-    pipe, text_encode = latent_stack
+    pipe, lparams, text_encode = latent_stack
     out = latent_diffusion_sample(
         prompt="a tiny test",
         seed=7,
@@ -54,6 +54,7 @@ def test_public_latent_api(tmp_path, latent_stack):
         sample_width=32,
         sample_height=32,
         pipe=pipe,
+        latent_params=lparams,
         text_encode=text_encode,
         output_dir=str(tmp_path),
     )

@@ -172,26 +172,27 @@ def _latent_pipe(ldm_unet):
                                                p.shape, p.dtype),
         params,
     )
-    return LatentPipeline(
-        unet_apply=lambda x, t, c: model.apply(params, x, t, c),
+    pipe = LatentPipeline(
+        unet_apply=lambda p, x, t, c: model.apply(p, x, t, c),
         downsample=1,  # operate on 8x8 "latents" directly in the tiny test
     )
+    return pipe, {"unet": params}
 
 
 def test_latent_sample_cfg(ldm_unet):
     cfg, _, _ = ldm_unet
-    pipe = _latent_pipe(ldm_unet)
+    pipe, lparams = _latent_pipe(ldm_unet)
     ctx_c = jnp.ones((2, 5, cfg.context_dim))
     ctx_u = jnp.zeros((2, 5, cfg.context_dim))
     z = latent_sample(
-        pipe, jax.random.PRNGKey(0), ctx_c, ctx_u,
+        pipe, lparams, jax.random.PRNGKey(0), ctx_c, ctx_u,
         batch_size=2, height=8, width=8, steps=10, guidance_scale=5.0,
     )
     assert z.shape == (2, 8, 8, 4)
     assert np.isfinite(np.asarray(z)).all()
     # CFG must differ from unguided
     z0 = latent_sample(
-        pipe, jax.random.PRNGKey(0), ctx_c, None,
+        pipe, lparams, jax.random.PRNGKey(0), ctx_c, None,
         batch_size=2, height=8, width=8, steps=10, guidance_scale=0.0,
     )
     assert float(jnp.abs(z - z0).max()) > 1e-5
@@ -199,10 +200,10 @@ def test_latent_sample_cfg(ldm_unet):
 
 def test_latent_sample_plms(ldm_unet):
     cfg, _, _ = ldm_unet
-    pipe = _latent_pipe(ldm_unet)
+    pipe, lparams = _latent_pipe(ldm_unet)
     ctx = jnp.ones((1, 5, cfg.context_dim))
     z = latent_sample(
-        pipe, jax.random.PRNGKey(1), ctx, None,
+        pipe, lparams, jax.random.PRNGKey(1), ctx, None,
         batch_size=1, height=8, width=8, steps=10, mode="plms",
     )
     assert np.isfinite(np.asarray(z)).all()
@@ -212,12 +213,12 @@ def test_latent_inpainting_keeps_masked_region(ldm_unet):
     """mask=1 regions must stay (approximately) the init latent after
     sampling with eta=0."""
     cfg, _, _ = ldm_unet
-    pipe = _latent_pipe(ldm_unet)
+    pipe, lparams = _latent_pipe(ldm_unet)
     ctx = jnp.ones((1, 5, cfg.context_dim))
     x0 = jnp.full((1, 8, 8, 4), 0.7)
     mask = jnp.zeros((1, 8, 8, 1)).at[:, :4].set(1.0)
     z = latent_sample(
-        pipe, jax.random.PRNGKey(2), ctx, None,
+        pipe, lparams, jax.random.PRNGKey(2), ctx, None,
         batch_size=1, height=8, width=8, steps=10,
         x0_latent=x0, mask=mask,
     )
@@ -233,11 +234,11 @@ def test_decode_latents_with_vq(vq, ldm_unet):
     vcfg, vmodel, vparams = vq
     pipe = LatentPipeline(
         unet_apply=None,
-        decode=lambda z: vmodel.apply(vparams, z, method=VQModel.decode),
-        encode=lambda x: vmodel.apply(vparams, x, method=VQModel.encode),
+        decode=lambda p, z: vmodel.apply(p, z, method=VQModel.decode),
+        encode=lambda p, x: vmodel.apply(p, x, method=VQModel.encode),
         downsample=2,
     )
     z = jax.random.normal(jax.random.PRNGKey(3), (1, 16, 16, 4))
-    img = decode_latents(pipe, z)
+    img = decode_latents(pipe, vparams, z)
     assert img.shape == (1, 32, 32, 3)
     assert float(img.min()) >= 0.0 and float(img.max()) <= 1.0

@@ -44,6 +44,7 @@ def _tiny_pipeline(mode="ddim", clip_scale=1000.0, steps=10, num_perceptors=1):
     )
 
     perceptors = []
+    perceptor_params = []
     for i in range(num_perceptors):
         ccfg = tiny_clip_config(name=f"tiny{i}")
         clip = CLIPModel(ccfg)
@@ -55,29 +56,34 @@ def _tiny_pipeline(mode="ddim", clip_scale=1000.0, steps=10, num_perceptors=1):
         perceptors.append(
             Perceptor(
                 name=ccfg.name,
-                embed_image=lambda im, c=clip, p=cparams: c.apply(
+                embed_image=lambda p, im, c=clip: c.apply(
                     p, im, method=CLIPModel.encode_image
                 ),
                 input_resolution=32,
-                text_embeddings=text_emb,
-                text_weights=jnp.ones((1,)),
             )
         )
+        perceptor_params.append({
+            "clip": cparams,
+            "aesthetic": (),
+            "text_embeddings": text_emb,
+            "text_weights": jnp.ones((1,)),
+        })
 
     sched = make_schedule(steps=steps)
     pipe = GuidedPipeline(
-        unet_apply=lambda x, t: unet.apply(uparams, x, t),
+        unet_apply=lambda p, x, t: unet.apply(p, x, t),
         perceptors=tuple(perceptors),
         config=cfg,
         sampler=SamplerConfig(mode=mode, steps=steps, eta=0.8),
         schedule=sched,
     )
-    return pipe
+    return pipe, {"unet": uparams, "perceptors": perceptor_params}
 
 
 def test_guided_sample_end_to_end():
-    pipe = _tiny_pipeline()
-    final, frames = guided_sample(pipe, jax.random.PRNGKey(0), batch_size=2)
+    pipe, params = _tiny_pipeline()
+    final, frames = guided_sample(pipe, params, jax.random.PRNGKey(0),
+                                  batch_size=2)
     assert final.shape == (2, 64, 64, 3)
     assert frames.shape[0] == 6
     assert np.isfinite(np.asarray(final)).all()
@@ -87,32 +93,35 @@ def test_guided_sample_end_to_end():
 
 
 def test_guided_sample_plms():
-    pipe = _tiny_pipeline(mode="plms")
-    final, _ = guided_sample(pipe, jax.random.PRNGKey(1), batch_size=1)
+    pipe, params = _tiny_pipeline(mode="plms")
+    final, _ = guided_sample(pipe, params, jax.random.PRNGKey(1),
+                             batch_size=1)
     assert np.isfinite(np.asarray(final)).all()
 
 
 def test_guidance_changes_output():
     """clip_guidance_scale=0 vs >0 must produce different trajectories."""
     key = jax.random.PRNGKey(2)
-    f1, _ = guided_sample(_tiny_pipeline(clip_scale=0.0), key)
-    f2, _ = guided_sample(_tiny_pipeline(clip_scale=5000.0), key)
+    p1, prm1 = _tiny_pipeline(clip_scale=0.0)
+    p2, prm2 = _tiny_pipeline(clip_scale=5000.0)
+    f1, _ = guided_sample(p1, prm1, key)
+    f2, _ = guided_sample(p2, prm2, key)
     assert float(jnp.abs(f1 - f2).max()) > 1e-4
 
 
 def test_batch_elements_independent():
     """Each batch element must evolve under its own RNG (different noise),
     and identical (x0, RNG) pairs must reproduce."""
-    pipe = _tiny_pipeline(clip_scale=0.0)
-    final, _ = guided_sample(pipe, jax.random.PRNGKey(3), batch_size=2)
+    pipe, params = _tiny_pipeline(clip_scale=0.0)
+    final, _ = guided_sample(pipe, params, jax.random.PRNGKey(3), batch_size=2)
     assert float(jnp.abs(final[0] - final[1]).max()) > 1e-4
-    final2, _ = guided_sample(pipe, jax.random.PRNGKey(3), batch_size=2)
+    final2, _ = guided_sample(pipe, params, jax.random.PRNGKey(3), batch_size=2)
     np.testing.assert_allclose(np.asarray(final), np.asarray(final2))
 
 
 def test_init_image_resume():
     """skip_timesteps + init image: trajectory starts near the init."""
-    pipe = _tiny_pipeline(clip_scale=0.0)
+    pipe, params = _tiny_pipeline(clip_scale=0.0)
     pipe = GuidedPipeline(
         unet_apply=pipe.unet_apply,
         perceptors=pipe.perceptors,
@@ -122,7 +131,7 @@ def test_init_image_resume():
     )
     init = jnp.full((1, 64, 64, 3), 0.5)
     final, frames = guided_sample(
-        pipe, jax.random.PRNGKey(4), batch_size=1, init_image=init
+        pipe, params, jax.random.PRNGKey(4), batch_size=1, init_image=init
     )
     # only 2 steps from a lightly-noised init -> output stays near init
     assert float(jnp.abs(final - init).mean()) < 0.5
@@ -130,14 +139,14 @@ def test_init_image_resume():
 
 
 def test_progress_callback_fires():
-    pipe = _tiny_pipeline(clip_scale=0.0)
+    pipe, params = _tiny_pipeline(clip_scale=0.0)
     seen = []
 
     def cb(pos, imgs):
         seen.append((int(pos), np.asarray(imgs).shape))
 
     guided_sample(
-        pipe, jax.random.PRNGKey(5), batch_size=1,
+        pipe, params, jax.random.PRNGKey(5), batch_size=1,
         progress_callback=cb, progress_every=5,
     )
     jax.effects_barrier()
@@ -146,6 +155,6 @@ def test_progress_callback_fires():
 
 
 def test_multi_perceptor_ensemble():
-    pipe = _tiny_pipeline(num_perceptors=2)
-    final, _ = guided_sample(pipe, jax.random.PRNGKey(6))
+    pipe, params = _tiny_pipeline(num_perceptors=2)
+    final, _ = guided_sample(pipe, params, jax.random.PRNGKey(6))
     assert np.isfinite(np.asarray(final)).all()

@@ -25,16 +25,16 @@ def test_sharded_batch_matches_single_device():
     same inputs (counter-based RNG is placement-invariant)."""
     from clip_diffusion_tpu.tests_support import build_tiny_pipeline
 
-    pipe, sample_fn = build_tiny_pipeline(steps=5)
+    pipe, params, sample_fn = build_tiny_pipeline(steps=5)
     key = jax.random.PRNGKey(0)
 
-    out_single = sample_fn(pipe, key, 8)
+    out_single = sample_fn(pipe, params, key, 8)
 
     mesh = make_mesh(8)
     xsh = batch_sharding(mesh)
     out_sharded = jax.jit(
-        lambda k: sample_fn(pipe, k, 8), out_shardings=xsh
-    )(key)
+        lambda p, k: sample_fn(pipe, p, k, 8), out_shardings=xsh
+    )(params, key)
     np.testing.assert_allclose(
         np.asarray(out_single), np.asarray(out_sharded), atol=1e-5
     )
@@ -43,10 +43,11 @@ def test_sharded_batch_matches_single_device():
 def test_sharded_output_spans_devices():
     from clip_diffusion_tpu.tests_support import build_tiny_pipeline
 
-    pipe, sample_fn = build_tiny_pipeline(steps=3)
+    pipe, params, sample_fn = build_tiny_pipeline(steps=3)
     mesh = make_mesh(8)
     out = jax.jit(
-        lambda k: sample_fn(pipe, k, 8), out_shardings=batch_sharding(mesh)
-    )(jax.random.PRNGKey(1))
+        lambda p, k: sample_fn(pipe, p, k, 8),
+        out_shardings=batch_sharding(mesh),
+    )(params, jax.random.PRNGKey(1))
     assert len(out.sharding.device_set) == 8
     assert np.isfinite(np.asarray(out)).all()

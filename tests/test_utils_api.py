@@ -115,7 +115,7 @@ def test_guided_sample_api_end_to_end(tmp_path):
     from clip_diffusion_tpu.tests_support import build_tiny_pipeline
     from clip_diffusion_tpu.zoo import ZooModels
 
-    pipe, _ = build_tiny_pipeline(steps=5)
+    pipe, params, _ = build_tiny_pipeline(steps=5)
 
     # adapt tiny pipeline into the API via injected models: reuse the
     # pipeline's own pieces through a ZooModels-like shim
@@ -131,7 +131,8 @@ def test_guided_sample_api_end_to_end(tmp_path):
     from clip_diffusion_tpu.pipeline.guided import guided_sample
     from clip_diffusion_tpu.utils.image_io import array_to_image, create_gif
 
-    final, frames = guided_sample(pipe, jax.random.PRNGKey(0), batch_size=2)
+    final, frames = guided_sample(pipe, params, jax.random.PRNGKey(0),
+                                  batch_size=2)
     out = np.asarray(final)
     assert out.shape == (2, 64, 64, 3)
     gif = create_gif((np.asarray(frames)[:, 0] + 1) / 2,
