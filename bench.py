@@ -66,25 +66,35 @@ def bench_flagship(args):
     shape = (args.batch, config.height, config.width, 3)
     key = jax.random.PRNGKey(0)
     x = jax.random.normal(key, shape, jnp.float32)
-    carry = (x, init_history(shape), jnp.int32(0))
 
-    # params flow as jit ARGUMENTS (closures would serialize 1.4GB of
-    # weights into the HLO; see pipeline/guided.py docstring)
-    jit_step = jax.jit(lambda p, c, s: step_fn(p, c, s, key))
+    # K steps of the true trajectory in ONE dispatch: per-dispatch tunnel
+    # overhead amortizes out and `block_until_ready` semantics don't matter
+    # (we force a host readback).  params flow as jit ARGUMENTS (closures
+    # would serialize 1.4GB of weights into the HLO).
+    K = args.measure
+    steps_desc = jnp.arange(args.steps - 1, args.steps - 1 - K, -1)
 
-    # warmup/compile (early schedule phase = max cutout count phase)
+    @jax.jit
+    def run(p, x):
+        carry = (x, init_history(shape), jnp.int32(0))
+
+        def body(c, s):
+            c, pred = step_fn(p, c, s, key)
+            return c, None
+
+        (xf, _, _), _ = jax.lax.scan(body, carry, steps_desc)
+        return xf
+
     t0 = time.time()
-    c, _ = jit_step(params, carry, jnp.int32(args.steps - 1))
-    jax.block_until_ready(c)
+    _ = float(run(params, x).sum())  # compile + first run, forced sync
     compile_s = time.time() - t0
 
-    # steady state: run K steps down the schedule
-    t0 = time.time()
-    cur = c
-    for i in range(args.measure):
-        cur, _ = jit_step(params, cur, jnp.int32(args.steps - 2 - i))
-    jax.block_until_ready(cur)
-    per_step = (time.time() - t0) / args.measure
+    times = []
+    for _ in range(args.repeats):
+        t0 = time.time()
+        _ = float(run(params, x).sum())
+        times.append((time.time() - t0) / K)
+    per_step = min(times)  # the shared-TPU terminal is noisy; min ~= capability
 
     per_image_s = per_step * DEFAULT_STEPS / args.batch
     images_per_min = 60.0 / per_image_s
@@ -99,6 +109,7 @@ def bench_flagship(args):
             "canvas": f"{config.width}x{config.height}",
             "steps_extrapolated": DEFAULT_STEPS,
             "measured_steps": args.measure,
+            "repeats": args.repeats,
             "clip_models": list(config.chosen_clip_models),
             "num_cutout_batches": args.cutout_batches,
             "compile_s": round(compile_s, 1),
@@ -131,7 +142,8 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--smoke", action="store_true")
     p.add_argument("--steps", type=int, default=DEFAULT_STEPS)
-    p.add_argument("--measure", type=int, default=10)
+    p.add_argument("--measure", type=int, default=8)
+    p.add_argument("--repeats", type=int, default=3)
     p.add_argument("--batch", type=int, default=1)
     p.add_argument("--width", type=int, default=512)
     p.add_argument("--height", type=int, default=512)

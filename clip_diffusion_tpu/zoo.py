@@ -69,7 +69,10 @@ def _host_init(init_fn, *args, param_dtype=jnp.bfloat16, seed: int = 0):
             fan_in = int(np.prod(leaf.shape[:-1])) or 1
             arr = rng.normal(0.0, 1.0 / np.sqrt(fan_in), leaf.shape)
             out.append(np.asarray(arr, dtype=param_dtype))
-    return jax.tree_util.tree_unflatten(treedef, out)
+    tree = jax.tree_util.tree_unflatten(treedef, out)
+    # commit to device ONCE: numpy leaves as jit arguments are re-uploaded
+    # on every call (host->device of the full parameter set per step)
+    return jax.device_put(tree)
 
 
 def build_models(
@@ -95,7 +98,9 @@ def build_models(
     clips = {}
     aesthetic = {}
     for i, name in enumerate(config.chosen_clip_models):
-        ccfg = CLIP_PRESETS[name]
+        # compute dtype must match the param dtype: a mismatch makes XLA
+        # upcast the full parameter set on every forward
+        ccfg = dataclasses.replace(CLIP_PRESETS[name], dtype=param_dtype)
         model = CLIPModel(ccfg)
         params = _host_init(
             lambda m=model, c=ccfg, i=i: m.init(
