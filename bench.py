@@ -56,11 +56,15 @@ def bench_flagship(args):
         chosen_clip_models=tuple(args.clips.split(",")),
         num_cutout_batches=args.cutout_batches,
     )
-    sampler = SamplerConfig(mode="ddim", steps=args.steps, eta=0.8)
+    sampler = SamplerConfig(mode="ddim", steps=args.steps, eta=0.8,
+                            phase_segmented=args.segmented)
     models = build_models(config, image_size=512, param_dtype=jnp.bfloat16)
     pipe, params = build_pipeline(
         models, config, [("a beautiful landscape painting", 1.0)], sampler
     )
+
+    if args.trajectory:
+        return bench_trajectory(args, config, pipe, params)
 
     step_fn, _ = build_guided_step(pipe)
     shape = (args.batch, config.height, config.width, 3)
@@ -119,6 +123,52 @@ def bench_flagship(args):
     }
 
 
+def bench_trajectory(args, config, pipe, params):
+    """Time the COMPLETE guided trajectory (args.steps steps) end to end
+    through the public pipeline — the number a user actually experiences."""
+    import jax
+
+    from clip_diffusion_tpu.pipeline.guided import guided_sample
+
+    key = jax.random.PRNGKey(0)
+    t0 = time.time()
+    final, _ = guided_sample(pipe, params, key, batch_size=args.batch)
+    _ = float(final.sum())
+    compile_s = time.time() - t0
+
+    times = []
+    for r in range(args.repeats):
+        t0 = time.time()
+        final, _ = guided_sample(
+            pipe, params, jax.random.PRNGKey(r + 1), batch_size=args.batch
+        )
+        _ = float(final.sum())
+        times.append(time.time() - t0)
+    traj_s = min(times)
+    per_image_s = traj_s / args.batch
+    scale = DEFAULT_STEPS / args.steps  # extrapolate if steps differ
+    images_per_min = 60.0 / (per_image_s * scale)
+    return {
+        "metric": "guided_512px_250steps_images_per_min_per_chip",
+        "value": round(images_per_min, 4),
+        "unit": "images/min",
+        "vs_baseline": round(images_per_min / REFERENCE_IMAGES_PER_MIN, 2),
+        "detail": {
+            "mode": "full-trajectory",
+            "trajectory_s": round(traj_s, 1),
+            "steps": args.steps,
+            "batch": args.batch,
+            "canvas": f"{config.width}x{config.height}",
+            "segmented": args.segmented,
+            "clip_models": list(config.chosen_clip_models),
+            "num_cutout_batches": args.cutout_batches,
+            "compile_s": round(compile_s, 1),
+            "device": str(jax.devices()[0]),
+            "baseline_note": "reference est. 0.08 img/min (T4, same config)",
+        },
+    }
+
+
 def bench_smoke(args):
     import jax
     import jax.numpy as jnp
@@ -144,6 +194,10 @@ def main():
     p.add_argument("--steps", type=int, default=DEFAULT_STEPS)
     p.add_argument("--measure", type=int, default=8)
     p.add_argument("--repeats", type=int, default=3)
+    p.add_argument("--segmented", action="store_true",
+                   help="exact-sized program per cutout-schedule phase")
+    p.add_argument("--trajectory", action="store_true",
+                   help="time the full trajectory instead of K steps")
     p.add_argument("--batch", type=int, default=1)
     p.add_argument("--width", type=int, default=512)
     p.add_argument("--height", type=int, default=512)

@@ -108,6 +108,13 @@ class Config:
     # Guidance gradient clamp (reference config.py:45).
     grad_threshold: float = 0.05
 
+    # Cutout sharing: the reference draws a fresh random cutout batch per
+    # CLIP model (reference sample.py:161-172); since the batches are i.i.d.
+    # augmentations, same-resolution perceptors can score ONE shared batch —
+    # identical loss distribution, 1/N the cutout compute.  Set False for
+    # strict reference parity.
+    share_cutouts_across_perceptors: bool = True
+
     # Loss scales (reference config.py:47-52).
     clip_guidance_scale: float = 8000.0
     denoise_scale: float = 10000.0  # total-variation loss weight

@@ -121,12 +121,14 @@ class GuidedPipeline:
     lpips_fn: Optional[Callable] = None  # (lpips_params, x, y) -> (B,)
     use_init_losses: bool = False  # LPIPS/MS-SSIM terms active
 
-    def cutout_spec(self, resolution: int) -> CutoutSpec:
+    def cutout_spec(self, resolution: int,
+                    slot_caps: Optional[Tuple[int, int]] = None) -> CutoutSpec:
         cs = self.config.cutout_schedules
+        max_ov, max_in = slot_caps or (cs.max_overview_cuts, cs.max_inner_cuts)
         return CutoutSpec(
             cut_size=resolution,
-            max_overview=cs.max_overview_cuts,
-            max_inner=cs.max_inner_cuts,
+            max_overview=max_ov,
+            max_inner=max_in,
         )
 
 
@@ -137,10 +139,15 @@ def _schedule_index(tables, step):
     return jnp.clip(999 - jnp.floor(t_scaled).astype(jnp.int32), 0, 999)
 
 
-def make_guidance_loss(pipe: GuidedPipeline, tables, sched_arrays):
+def make_guidance_loss(pipe: GuidedPipeline, tables, sched_arrays,
+                       slot_caps: Optional[Tuple[int, int]] = None):
     """Build loss(params, x, step, key) -> (scalar, aux), differentiated
     w.r.t. x.  The scalar sums per-image losses (batch elements are
-    independent, so d(sum)/dx gives each image its own gradient)."""
+    independent, so d(sum)/dx gives each image its own gradient).
+
+    `slot_caps`: optional (max_overview, max_inner) override — used by the
+    phase-segmented runner to compile exact-sized cutout batches with zero
+    padded slots."""
     cfg = pipe.config
     n_ov_table, n_in_table, power_table, gray_table = sched_arrays
 
@@ -163,33 +170,49 @@ def make_guidance_loss(pipe: GuidedPipeline, tables, sched_arrays):
 
         total = jnp.float32(0.0)
         if cfg.clip_guidance_scale > 0:
-            for pi, perc in enumerate(pipe.perceptors):
-                pp = params["perceptors"][pi]
-                pkey = jax.random.fold_in(key, pi)
-                spec = pipe.cutout_spec(perc.input_resolution)
+            # group perceptors that can share one cutout batch (see
+            # Config.share_cutouts_across_perceptors)
+            if cfg.share_cutouts_across_perceptors:
+                groups: Dict[int, list] = {}
+                for pi, perc in enumerate(pipe.perceptors):
+                    groups.setdefault(perc.input_resolution, []).append(pi)
+                groups = list(groups.items())
+            else:
+                groups = [
+                    (perc.input_resolution, [pi])
+                    for pi, perc in enumerate(pipe.perceptors)
+                ]
+            for gi, (resolution, members) in enumerate(groups):
+                gkey = jax.random.fold_in(key, gi)
+                spec = pipe.cutout_spec(resolution, slot_caps)
                 cuts, w = make_cutouts_batch(
-                    denoised, pkey, n_ov, n_in, power, gray, spec,
-                    repeats=cfg.num_cutout_batches,
+                    denoised.astype(jnp.bfloat16), gkey, n_ov, n_in, power,
+                    gray, spec, repeats=cfg.num_cutout_batches,
                 )  # (B, N, S, S, 3), (B, N)
                 n = cuts.shape[1]
-                embs = perc.embed_image(
-                    pp["clip"],
-                    clip_normalize(cuts.reshape((b * n,) + cuts.shape[2:])),
-                ).reshape(b, n, -1)
-                # (B, N, P) spherical distances against weighted prompts
-                d = square_spherical_distance_loss(
-                    embs[:, :, None, :],
-                    pp["text_embeddings"][None, None, :, :],
+                cuts_flat = clip_normalize(
+                    cuts.reshape((b * n,) + cuts.shape[2:])
                 )
-                weighted = jnp.sum(
-                    d * pp["text_weights"][None, None, :], axis=-1
-                )
-                total += cfg.clip_guidance_scale * jnp.sum(w * weighted)
-                if perc.aesthetic_fn is not None and cfg.aesthetic_scale > 0:
-                    scores = perc.aesthetic_fn(
-                        pp["aesthetic"], l2_normalize(embs, axis=-1)
-                    )[..., 0]
-                    total -= cfg.aesthetic_scale * jnp.sum(w * scores)
+                for pi in members:
+                    perc = pipe.perceptors[pi]
+                    pp = params["perceptors"][pi]
+                    embs = perc.embed_image(pp["clip"], cuts_flat).reshape(
+                        b, n, -1
+                    )
+                    # (B, N, P) spherical distances vs weighted prompts
+                    d = square_spherical_distance_loss(
+                        embs[:, :, None, :],
+                        pp["text_embeddings"][None, None, :, :],
+                    )
+                    weighted = jnp.sum(
+                        d * pp["text_weights"][None, None, :], axis=-1
+                    )
+                    total += cfg.clip_guidance_scale * jnp.sum(w * weighted)
+                    if perc.aesthetic_fn is not None and cfg.aesthetic_scale > 0:
+                        scores = perc.aesthetic_fn(
+                            pp["aesthetic"], l2_normalize(embs, axis=-1)
+                        )[..., 0]
+                        total -= cfg.aesthetic_scale * jnp.sum(w * scores)
 
         if cfg.denoise_scale > 0:
             total += cfg.denoise_scale * jnp.sum(total_variational_loss(denoised))
@@ -219,7 +242,8 @@ def _clamp_guidance_grad(grad, threshold):
     return grad * jnp.clip(mag, None, threshold) / jnp.maximum(mag, 1e-12)
 
 
-def build_guided_step(pipe: GuidedPipeline):
+def build_guided_step(pipe: GuidedPipeline,
+                      slot_caps: Optional[Tuple[int, int]] = None):
     """Build the scan body: (params, carry, step_index, base_key) ->
     (carry, pred_x0).
 
@@ -229,7 +253,7 @@ def build_guided_step(pipe: GuidedPipeline):
     sched_arrays = tuple(
         jnp.asarray(a) for a in pipe.config.cutout_schedules.as_arrays()
     )
-    loss_fn = make_guidance_loss(pipe, tables, sched_arrays)
+    loss_fn = make_guidance_loss(pipe, tables, sched_arrays, slot_caps)
     grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
     sampler = pipe.sampler
 
@@ -314,12 +338,103 @@ def guided_sample(
     else:
         x = jax.random.normal(k_init, shape, jnp.float32)
 
-    runner = _get_runner(
-        pipe, n_steps, num_frames, progress_callback, progress_every
-    )
+    if sampler.phase_segmented:
+        runner = _get_segmented_runner(
+            pipe, n_steps, num_frames, progress_callback, progress_every
+        )
+    else:
+        runner = _get_runner(
+            pipe, n_steps, num_frames, progress_callback, progress_every
+        )
     frames = runner(params, x, k_scan)
     final_x = frames[-1]  # pred_x0 at the last step
     return final_x, frames
+
+
+def compute_phase_segments(pipe: GuidedPipeline, n_steps: int):
+    """Host-side: split the descending step sequence into runs with constant
+    scheduled cutout counts.  Returns [(steps int32[], (n_ov, n_in)), ...]
+    in execution order."""
+    sched = pipe.schedule
+    cs = pipe.config.cutout_schedules
+    ov = np.asarray(cs.num_overview_cuts, np.int64)
+    inn = np.asarray(cs.num_inner_cuts, np.int64)
+    segments = []
+    cur_key = None
+    for step in range(n_steps - 1, -1, -1):
+        idx = int(np.clip(999 - np.floor(sched.scaled_timesteps[step]), 0, 999))
+        key = (int(ov[idx]), int(inn[idx]))
+        if key != cur_key:
+            segments.append(([step], key))
+            cur_key = key
+        else:
+            segments[-1][0].append(step)
+    return [(np.asarray(s, np.int32), k) for s, k in segments]
+
+
+@functools.lru_cache(maxsize=64)
+def _get_segmented_runner(pipe, n_steps, num_frames, progress_callback,
+                          progress_every):
+    """Phase-segmented trajectory runner: one exact-sized scan body per
+    cutout-schedule phase (no inactive slots), chained in a single jitted
+    program."""
+    segments = compute_phase_segments(pipe, n_steps)
+    step_fns = {}
+    for _, caps in segments:
+        if caps not in step_fns:
+            step_fns[caps] = build_guided_step(pipe, slot_caps=caps)[0]
+
+    frame_at = np.unique(
+        np.linspace(0, n_steps - 1, num_frames).astype(np.int64)
+    )
+    frame_table_np = np.full(n_steps, -1, dtype=np.int32)
+    for slot, pos in enumerate(frame_at):
+        frame_table_np[pos] = slot
+    frame_table = jnp.asarray(frame_table_np)
+    n_frames_eff = len(frame_at)
+
+    def run(params, x, base_key):
+        shape = x.shape
+        frames = jnp.zeros((n_frames_eff,) + shape, jnp.float32)
+        inner = (x, init_history(shape), jnp.int32(0))
+        pos_offset = 0
+        for seg_steps, caps in segments:
+            step_fn = step_fns[caps]
+            positions = jnp.arange(
+                pos_offset, pos_offset + len(seg_steps), dtype=jnp.int32
+            )
+
+            def body(carry, step_and_pos, step_fn=step_fn):
+                inner, frames = carry
+                step, pos = step_and_pos
+                inner, pred_x0 = step_fn(params, inner, step, base_key)
+                slot = frame_table[pos]
+                frames = jax.lax.cond(
+                    slot >= 0,
+                    lambda f: jax.lax.dynamic_update_index_in_dim(
+                        f, pred_x0, jnp.maximum(slot, 0), 0
+                    ),
+                    lambda f: f,
+                    frames,
+                )
+                if progress_callback is not None:
+                    jax.lax.cond(
+                        pos % progress_every == 0,
+                        lambda: io_callback(
+                            progress_callback, None, pos, pred_x0,
+                            ordered=False,
+                        ),
+                        lambda: None,
+                    )
+                return (inner, frames), None
+
+            (inner, frames), _ = jax.lax.scan(
+                body, (inner, frames), (jnp.asarray(seg_steps), positions)
+            )
+            pos_offset += len(seg_steps)
+        return frames
+
+    return jax.jit(run)
 
 
 @functools.lru_cache(maxsize=64)
