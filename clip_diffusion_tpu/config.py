@@ -115,6 +115,10 @@ class Config:
     # strict reference parity.
     share_cutouts_across_perceptors: bool = True
 
+    # dtype for the cutout/augment/CLIP-input path ("bfloat16" rides the
+    # MXU at 2x; "float32" keeps bitwise placement-invariance for tests)
+    guidance_dtype: str = "bfloat16"
+
     # Loss scales (reference config.py:47-52).
     clip_guidance_scale: float = 8000.0
     denoise_scale: float = 10000.0  # total-variation loss weight

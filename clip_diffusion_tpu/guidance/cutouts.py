@@ -115,9 +115,17 @@ def make_cutouts(
     image01 = (image + 1.0) / 2.0  # denormalize (reference cutouts.py:133)
     k_inner, k_aug = jax.random.split(key)
 
-    overview = _overview_cuts(image01, num_overview, spec)
-    inner = _inner_cuts(image01, k_inner, num_inner, size_power, gray_portion, spec)
-    cuts = jnp.concatenate([overview, inner], axis=0)
+    parts = []
+    if spec.max_overview > 0:
+        parts.append(_overview_cuts(image01, num_overview, spec))
+    if spec.max_inner > 0:
+        parts.append(
+            _inner_cuts(image01, k_inner, num_inner, size_power,
+                        gray_portion, spec)
+        )
+    if not parts:
+        raise ValueError("CutoutSpec with zero slots")
+    cuts = jnp.concatenate(parts, axis=0) if len(parts) > 1 else parts[0]
 
     if spec.augment:
         cuts = augment_batch(cuts, k_aug, spec.augment_cfg)

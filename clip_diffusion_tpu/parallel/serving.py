@@ -113,6 +113,39 @@ def analyze_image(
     return results
 
 
+def load_analysis_bank(data_dir: str,
+                       models: Sequence[str] = ("ViT-B/16", "ViT-L/14")):
+    """Load styles/media banks produced by tools/build_banks.py:
+    <dir>/{styles,media}_<model>.npy + {styles,media}_names.txt.
+    Returns None if the directory has no banks."""
+    import numpy as np
+
+    def read_names(kind):
+        path = os.path.join(data_dir, f"{kind}_names.txt")
+        if not os.path.exists(path):
+            return None
+        with open(path, encoding="utf-8") as f:
+            return [line.strip() for line in f if line.strip()]
+
+    style_names = read_names("styles")
+    media_names = read_names("media")
+    if style_names is None and media_names is None:
+        return None
+    styles, media = {}, {}
+    for name in models:
+        tag = name.replace("/", "_")
+        for kind, target in (("styles", styles), ("media", media)):
+            path = os.path.join(data_dir, f"{kind}_{tag}.npy")
+            if os.path.exists(path):
+                target[name] = np.load(path)
+    return AnalysisBank(
+        styles=styles,
+        media=media,
+        style_names=style_names or [],
+        media_names=media_names or [],
+    )
+
+
 # --------------------------------------------------------------------------
 # Pod-sharded batch generation
 # --------------------------------------------------------------------------

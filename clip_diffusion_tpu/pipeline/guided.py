@@ -182,11 +182,12 @@ def make_guidance_loss(pipe: GuidedPipeline, tables, sched_arrays,
                     (perc.input_resolution, [pi])
                     for pi, perc in enumerate(pipe.perceptors)
                 ]
+            gdtype = jnp.dtype(cfg.guidance_dtype)
             for gi, (resolution, members) in enumerate(groups):
                 gkey = jax.random.fold_in(key, gi)
                 spec = pipe.cutout_spec(resolution, slot_caps)
                 cuts, w = make_cutouts_batch(
-                    denoised.astype(jnp.bfloat16), gkey, n_ov, n_in, power,
+                    denoised.astype(gdtype), gkey, n_ov, n_in, power,
                     gray, spec, repeats=cfg.num_cutout_batches,
                 )  # (B, N, S, S, 3), (B, N)
                 n = cuts.shape[1]
@@ -307,8 +308,14 @@ def guided_sample(
     num_frames: int = 6,
     progress_callback: Optional[Callable] = None,
     progress_every: int = 5,
+    max_steps_per_dispatch: int = 50,
 ):
     """Run the full guided trajectory.
+
+    `max_steps_per_dispatch`: trajectories execute as host-chained scan
+    chunks of at most this many steps — long single dispatches can exceed
+    execution deadlines on remote-attached TPUs, and chunking costs only
+    one host round-trip per chunk.
 
     Returns (final_images, frames): final pred_xstart in [-1,1] NHWC and
     `num_frames` evenly spaced trajectory frames (the reference's GIF
@@ -340,11 +347,13 @@ def guided_sample(
 
     if sampler.phase_segmented:
         runner = _get_segmented_runner(
-            pipe, n_steps, num_frames, progress_callback, progress_every
+            pipe, n_steps, num_frames, progress_callback, progress_every,
+            max_steps_per_dispatch,
         )
     else:
         runner = _get_runner(
-            pipe, n_steps, num_frames, progress_callback, progress_every
+            pipe, n_steps, num_frames, progress_callback, progress_every,
+            max_steps_per_dispatch,
         )
     frames = runner(params, x, k_scan)
     final_x = frames[-1]  # pred_x0 at the last step
@@ -374,24 +383,19 @@ def compute_phase_segments(pipe: GuidedPipeline, n_steps: int):
 
 @functools.lru_cache(maxsize=64)
 def _get_segmented_runner(pipe, n_steps, num_frames, progress_callback,
-                          progress_every):
-    """Phase-segmented trajectory runner: one exact-sized scan body per
-    cutout-schedule phase (no inactive slots), chained in a single jitted
-    program."""
+                          progress_every, chunk_size):
+    """Phase-segmented chunked runner: one exact-sized executor per
+    cutout-schedule phase (no inactive slots), host-chained; each dispatch
+    covers at most `chunk_size` steps."""
     segments = compute_phase_segments(pipe, n_steps)
-    step_fns = {}
+    frame_table, n_frames_eff = _frame_table(n_steps, num_frames)
+    execs = {}
     for _, caps in segments:
-        if caps not in step_fns:
-            step_fns[caps] = build_guided_step(pipe, slot_caps=caps)[0]
-
-    frame_at = np.unique(
-        np.linspace(0, n_steps - 1, num_frames).astype(np.int64)
-    )
-    frame_table_np = np.full(n_steps, -1, dtype=np.int32)
-    for slot, pos in enumerate(frame_at):
-        frame_table_np[pos] = slot
-    frame_table = jnp.asarray(frame_table_np)
-    n_frames_eff = len(frame_at)
+        if caps not in execs:
+            step_fn = build_guided_step(pipe, slot_caps=caps)[0]
+            execs[caps] = _make_chunk_exec(
+                step_fn, frame_table, progress_callback, progress_every
+            )
 
     def run(params, x, base_key):
         shape = x.shape
@@ -399,66 +403,38 @@ def _get_segmented_runner(pipe, n_steps, num_frames, progress_callback,
         inner = (x, init_history(shape), jnp.int32(0))
         pos_offset = 0
         for seg_steps, caps in segments:
-            step_fn = step_fns[caps]
-            positions = jnp.arange(
-                pos_offset, pos_offset + len(seg_steps), dtype=jnp.int32
+            positions = np.arange(
+                pos_offset, pos_offset + len(seg_steps), dtype=np.int32
             )
-
-            def body(carry, step_and_pos, step_fn=step_fn):
-                inner, frames = carry
-                step, pos = step_and_pos
-                inner, pred_x0 = step_fn(params, inner, step, base_key)
-                slot = frame_table[pos]
-                frames = jax.lax.cond(
-                    slot >= 0,
-                    lambda f: jax.lax.dynamic_update_index_in_dim(
-                        f, pred_x0, jnp.maximum(slot, 0), 0
-                    ),
-                    lambda f: f,
-                    frames,
+            for s_chunk, p_chunk in zip(
+                _chunks(seg_steps, chunk_size), _chunks(positions, chunk_size)
+            ):
+                inner, frames = execs[caps](
+                    params, inner, frames, jnp.asarray(s_chunk),
+                    jnp.asarray(p_chunk), base_key,
                 )
-                if progress_callback is not None:
-                    jax.lax.cond(
-                        pos % progress_every == 0,
-                        lambda: io_callback(
-                            progress_callback, None, pos, pred_x0,
-                            ordered=False,
-                        ),
-                        lambda: None,
-                    )
-                return (inner, frames), None
-
-            (inner, frames), _ = jax.lax.scan(
-                body, (inner, frames), (jnp.asarray(seg_steps), positions)
-            )
             pos_offset += len(seg_steps)
         return frames
 
-    return jax.jit(run)
+    return run
 
 
-@functools.lru_cache(maxsize=64)
-def _get_runner(pipe, n_steps, num_frames, progress_callback, progress_every):
-    """One jitted trajectory runner per (pipeline, loop-config) — cached so
-    repeated requests reuse the compiled program."""
-    step_fn, _ = build_guided_step(pipe)
-    start = n_steps - 1
-    steps_desc = jnp.arange(start, -1, -1)
-
-    # frame capture positions (host-side static): evenly spaced + final
+def _frame_table(n_steps, num_frames):
     frame_at = np.unique(
         np.linspace(0, n_steps - 1, num_frames).astype(np.int64)
     )
-    frame_table_np = np.full(n_steps, -1, dtype=np.int32)
+    table = np.full(n_steps, -1, dtype=np.int32)
     for slot, pos in enumerate(frame_at):
-        frame_table_np[pos] = slot
-    frame_table = jnp.asarray(frame_table_np)
-    n_frames_eff = len(frame_at)
+        table[pos] = slot
+    return jnp.asarray(table), len(frame_at)
 
-    def run(params, x, base_key):
-        shape = x.shape
-        frames0 = jnp.zeros((n_frames_eff,) + shape, jnp.float32)
 
+def _make_chunk_exec(step_fn, frame_table, progress_callback, progress_every):
+    """Jitted executor for one chunk of (steps, positions): carries
+    (inner sampler state, frames) through a scan."""
+
+    @jax.jit
+    def exec_chunk(params, inner, frames, steps, positions, base_key):
         def body(carry, step_and_pos):
             inner, frames = carry
             step, pos = step_and_pos
@@ -482,11 +458,43 @@ def _get_runner(pipe, n_steps, num_frames, progress_callback, progress_every):
                 )
             return (inner, frames), None
 
-        inner0 = (x, init_history(shape), jnp.int32(0))
-        positions = jnp.arange(n_steps)
-        (final_carry, frames), _ = jax.lax.scan(
-            body, (inner0, frames0), (steps_desc, positions)
+        (inner, frames), _ = jax.lax.scan(
+            body, (inner, frames), (steps, positions)
         )
+        return inner, frames
+
+    return exec_chunk
+
+
+def _chunks(arr, size):
+    for i in range(0, len(arr), size):
+        yield arr[i : i + size]
+
+
+@functools.lru_cache(maxsize=64)
+def _get_runner(pipe, n_steps, num_frames, progress_callback, progress_every,
+                chunk_size):
+    """Host-chained chunked trajectory runner (single padded program; one
+    compile per distinct chunk length)."""
+    step_fn, _ = build_guided_step(pipe)
+    frame_table, n_frames_eff = _frame_table(n_steps, num_frames)
+    exec_chunk = _make_chunk_exec(
+        step_fn, frame_table, progress_callback, progress_every
+    )
+    steps_desc = np.arange(n_steps - 1, -1, -1, dtype=np.int32)
+    positions = np.arange(n_steps, dtype=np.int32)
+
+    def run(params, x, base_key):
+        shape = x.shape
+        frames = jnp.zeros((n_frames_eff,) + shape, jnp.float32)
+        inner = (x, init_history(shape), jnp.int32(0))
+        for s_chunk, p_chunk in zip(
+            _chunks(steps_desc, chunk_size), _chunks(positions, chunk_size)
+        ):
+            inner, frames = exec_chunk(
+                params, inner, frames, jnp.asarray(s_chunk),
+                jnp.asarray(p_chunk), base_key,
+            )
         return frames
 
-    return jax.jit(run)
+    return run

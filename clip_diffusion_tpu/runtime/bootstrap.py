@@ -49,7 +49,36 @@ def build_service(config: Config | None = None, with_latent: bool = False,
             text_encode=text_encode,
         )
 
-    analyzer = None  # wire an AnalysisBank when embedding banks exist
+    analyzer = None
+    data_dir = os.environ.get("CLIP_DIFFUSION_DATA", "data/banks")
+    if models is not None:
+        from clip_diffusion_tpu.parallel.serving import (
+            analyze_image,
+            load_analysis_bank,
+        )
+
+        bank = load_analysis_bank(data_dir)
+        if bank is not None:
+            import jax
+
+            from clip_diffusion_tpu.models.clip.model import CLIPModel
+
+            embed_fns = {}
+            # analysis uses ViT-B/16 + ViT-L/14 (reference
+            # anvil_utils.py:75-95)
+            for name in ("ViT-B/16", "ViT-L/14"):
+                if name in models.clips:
+                    mod, prms = models.clips[name]
+                    jfn = jax.jit(
+                        lambda p, im, m=mod: m.apply(
+                            p, im, method=CLIPModel.encode_image
+                        )
+                    )
+                    embed_fns[name] = lambda im, f=jfn, p=prms: f(p, im)
+            if embed_fns:
+                analyzer = functools.partial(
+                    analyze_image, clip_embed_fns=embed_fns, bank=bank
+                )
     return ClipDiffusionServer(
         port=port, config=config, guided_fn=guided_fn, latent_fn=latent_fn,
         analyzer=analyzer,

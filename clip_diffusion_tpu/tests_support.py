@@ -24,6 +24,7 @@ def tiny_config(**overrides) -> Config:
         width=64,
         height=64,
         num_cutout_batches=1,
+        guidance_dtype="float32",  # bitwise placement-invariance in tests
         clip_guidance_scale=1000.0,
         denoise_scale=100.0,
         range_scale=10.0,

@@ -140,3 +140,21 @@ def test_analyze_image():
     assert len(out["styles"]) == 3
     assert out["styles"][0][1] == "style3"
     assert len(out["media"]) == 3
+
+
+def test_load_analysis_bank(tmp_path):
+    import numpy as np
+
+    from clip_diffusion_tpu.parallel.serving import load_analysis_bank
+
+    d = str(tmp_path)
+    open(f"{d}/styles_names.txt", "w").write("oil\nwatercolor\n")
+    open(f"{d}/media_names.txt", "w").write("photo\n")
+    np.save(f"{d}/styles_ViT-B_16.npy", np.ones((2, 8), np.float32))
+    np.save(f"{d}/media_ViT-L_14.npy", np.ones((1, 8), np.float32))
+    bank = load_analysis_bank(d)
+    assert bank is not None
+    assert bank.style_names == ["oil", "watercolor"]
+    assert "ViT-B/16" in bank.styles
+    assert "ViT-L/14" in bank.media
+    assert load_analysis_bank(str(tmp_path / "nope")) is None

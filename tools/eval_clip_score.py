@@ -109,10 +109,18 @@ def main():
     config = Config(chosen_clip_models=(args.clip,))
     models = build_models(config)  # converted checkpoints via convert.py
     model, params = models.clips[args.clip]
+    # params as jit args (closures embed weights into the compile payload)
+    embed_i = jax.jit(
+        lambda p, im: model.apply(p, im, method=CLIPModel.encode_image)
+    )
+    embed_t = jax.jit(
+        lambda p, t: model.apply(p, t, method=CLIPModel.encode_text)
+    )
     scores = clip_score(
-        lambda im: model.apply(params, im, method=CLIPModel.encode_image),
-        lambda t: model.apply(params, t, method=CLIPModel.encode_text),
+        lambda im: embed_i(params, im),
+        lambda t: embed_t(params, t),
         images, prompts[: len(images)],
+        resolution=CLIP_PRESETS[args.clip].image_resolution,
     )
     print(json.dumps({
         "metric": "clip_score",
