@@ -309,6 +309,9 @@ def guided_sample(
     progress_callback: Optional[Callable] = None,
     progress_every: int = 5,
     max_steps_per_dispatch: int = 50,
+    resume_state=None,
+    return_state: bool = False,
+    stop_after: Optional[int] = None,
 ):
     """Run the full guided trajectory.
 
@@ -316,6 +319,11 @@ def guided_sample(
     chunks of at most this many steps — long single dispatches can exceed
     execution deadlines on remote-attached TPUs, and chunking costs only
     one host round-trip per chunk.
+
+    Preemption-safe resume: pass a `utils.checkpoint.SamplingState` as
+    `resume_state` to continue a trajectory bit-exactly (per-step RNG is
+    fold_in(key, step), so completed steps never replay);
+    `return_state=True` additionally returns the final SamplingState.
 
     Returns (final_images, frames): final pred_xstart in [-1,1] NHWC and
     `num_frames` evenly spaced trajectory frames (the reference's GIF
@@ -355,8 +363,30 @@ def guided_sample(
             pipe, n_steps, num_frames, progress_callback, progress_every,
             max_steps_per_dispatch,
         )
-    frames = runner(params, x, k_scan)
+
+    inner0 = None
+    start_pos = 0
+    if resume_state is not None:
+        inner0 = (
+            jnp.asarray(resume_state.x, jnp.float32),
+            jnp.asarray(resume_state.eps_history, jnp.float32),
+            jnp.int32(resume_state.history_count),
+        )
+        # resume_state.step = next step to execute (counts down)
+        start_pos = start - int(resume_state.step)
+
+    end_pos = None if stop_after is None else start_pos + stop_after
+    frames, inner = runner(params, x, k_scan, inner0, start_pos, end_pos)
     final_x = frames[-1]  # pred_x0 at the last step
+    if return_state:
+        from clip_diffusion_tpu.utils.checkpoint import SamplingState
+
+        next_step = -1 if end_pos is None else start - end_pos
+        state = SamplingState(
+            x=inner[0], step=next_step, eps_history=inner[1],
+            history_count=int(inner[2]), base_seed=0,
+        )
+        return final_x, frames, state
     return final_x, frames
 
 
@@ -397,15 +427,24 @@ def _get_segmented_runner(pipe, n_steps, num_frames, progress_callback,
                 step_fn, frame_table, progress_callback, progress_every
             )
 
-    def run(params, x, base_key):
+    def run(params, x, base_key, inner=None, start_pos=0, end_pos=None):
         shape = x.shape
         frames = jnp.zeros((n_frames_eff,) + shape, jnp.float32)
-        inner = (x, init_history(shape), jnp.int32(0))
+        if inner is None:
+            inner = (x, init_history(shape), jnp.int32(0))
         pos_offset = 0
         for seg_steps, caps in segments:
             positions = np.arange(
                 pos_offset, pos_offset + len(seg_steps), dtype=np.int32
             )
+            keep = positions >= start_pos
+            if end_pos is not None:
+                keep &= positions < end_pos
+            pos_offset += len(seg_steps)
+            if not keep.any():
+                continue
+            seg_steps = seg_steps[keep]
+            positions = positions[keep]
             for s_chunk, p_chunk in zip(
                 _chunks(seg_steps, chunk_size), _chunks(positions, chunk_size)
             ):
@@ -413,8 +452,7 @@ def _get_segmented_runner(pipe, n_steps, num_frames, progress_callback,
                     params, inner, frames, jnp.asarray(s_chunk),
                     jnp.asarray(p_chunk), base_key,
                 )
-            pos_offset += len(seg_steps)
-        return frames
+        return frames, inner
 
     return run
 
@@ -484,17 +522,20 @@ def _get_runner(pipe, n_steps, num_frames, progress_callback, progress_every,
     steps_desc = np.arange(n_steps - 1, -1, -1, dtype=np.int32)
     positions = np.arange(n_steps, dtype=np.int32)
 
-    def run(params, x, base_key):
+    def run(params, x, base_key, inner=None, start_pos=0, end_pos=None):
         shape = x.shape
         frames = jnp.zeros((n_frames_eff,) + shape, jnp.float32)
-        inner = (x, init_history(shape), jnp.int32(0))
+        if inner is None:
+            inner = (x, init_history(shape), jnp.int32(0))
+        sl = slice(start_pos, end_pos)
         for s_chunk, p_chunk in zip(
-            _chunks(steps_desc, chunk_size), _chunks(positions, chunk_size)
+            _chunks(steps_desc[sl], chunk_size),
+            _chunks(positions[sl], chunk_size),
         ):
             inner, frames = exec_chunk(
                 params, inner, frames, jnp.asarray(s_chunk),
                 jnp.asarray(p_chunk), base_key,
             )
-        return frames
+        return frames, inner
 
     return run
