@@ -132,7 +132,8 @@ def bench_trajectory(args, config, pipe, params):
 
     key = jax.random.PRNGKey(0)
     t0 = time.time()
-    final, _ = guided_sample(pipe, params, key, batch_size=args.batch)
+    final, _ = guided_sample(pipe, params, key, batch_size=args.batch,
+                             max_steps_per_dispatch=args.chunk)
     _ = float(final.sum())
     compile_s = time.time() - t0
 
@@ -140,7 +141,8 @@ def bench_trajectory(args, config, pipe, params):
     for r in range(args.repeats):
         t0 = time.time()
         final, _ = guided_sample(
-            pipe, params, jax.random.PRNGKey(r + 1), batch_size=args.batch
+            pipe, params, jax.random.PRNGKey(r + 1), batch_size=args.batch,
+            max_steps_per_dispatch=args.chunk,
         )
         _ = float(final.sum())
         times.append(time.time() - t0)
@@ -194,6 +196,8 @@ def main():
     p.add_argument("--steps", type=int, default=DEFAULT_STEPS)
     p.add_argument("--measure", type=int, default=8)
     p.add_argument("--repeats", type=int, default=3)
+    p.add_argument("--chunk", type=int, default=25,
+                   help="max sampler steps per device dispatch")
     p.add_argument("--segmented", action="store_true",
                    help="exact-sized program per cutout-schedule phase")
     p.add_argument("--trajectory", action="store_true",

@@ -15,7 +15,7 @@ sampler gathers rows by respaced index inside the compiled loop.
 from __future__ import annotations
 
 import dataclasses
-from typing import Sequence, Set
+from typing import Set
 
 import numpy as np
 

@@ -29,8 +29,6 @@ denormalizes before cutting, cutouts.py:133) ready for CLIP normalization.
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 

@@ -10,7 +10,6 @@ training; inference is deterministic.
 from __future__ import annotations
 
 import flax.linen as nn
-import jax.numpy as jnp
 
 
 class LinearAestheticPredictor(nn.Module):

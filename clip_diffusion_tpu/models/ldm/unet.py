@@ -15,7 +15,7 @@ the architectures share them — and adds the SpatialTransformer stack
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Tuple
+from typing import Tuple
 
 import flax.linen as nn
 import jax

@@ -22,7 +22,7 @@ import dataclasses
 import functools
 import os
 import warnings
-from typing import List, Sequence
+from typing import Sequence
 
 import flax.linen as nn
 import jax

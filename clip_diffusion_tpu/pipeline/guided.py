@@ -46,7 +46,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
-from typing import Any, Callable, Dict, Optional, Sequence, Tuple
+from typing import Any, Callable, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -68,10 +68,9 @@ from clip_diffusion_tpu.diffusion.sampling import (
     q_sample,
     schedule_tables,
 )
-from clip_diffusion_tpu.diffusion.schedule import NoiseSchedule, make_schedule
+from clip_diffusion_tpu.diffusion.schedule import NoiseSchedule
 from clip_diffusion_tpu.guidance.cutouts import CutoutSpec, make_cutouts_batch
 from clip_diffusion_tpu.guidance.losses import (
-    aesthetic_loss,
     l2_normalize,
     rgb_range_loss,
     square_spherical_distance_loss,

@@ -23,14 +23,13 @@ TPU design:
 from __future__ import annotations
 
 import dataclasses
-from typing import Callable, Optional, Tuple
+from typing import Callable, Optional
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from clip_diffusion_tpu.diffusion.sampling import (
-    MAX_PLMS_ORDER,
     init_history,
     plms_eps,
     push_history,

@@ -17,7 +17,7 @@ reference user can switch directly.  Differences by design:
 from __future__ import annotations
 
 import os
-from typing import Optional, Sequence
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -8,7 +8,6 @@ append them plus ", trending on artstation.", then split "text:weight".
 
 from __future__ import annotations
 
-import os
 from typing import Callable, List, Optional, Sequence, Tuple
 
 import numpy as np

@@ -11,7 +11,7 @@ Arrays are NHWC float; [-1,1] model space or [0,1] display space.
 from __future__ import annotations
 
 import os
-from typing import List, Optional, Sequence
+from typing import Sequence
 
 import numpy as np
 from PIL import Image, ImageDraw, ImageFont
