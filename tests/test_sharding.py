@@ -51,3 +51,19 @@ def test_sharded_output_spans_devices():
     )(params, jax.random.PRNGKey(1))
     assert len(out.sharding.device_set) == 8
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_serve_guided_batch():
+    """Pod-serving layout (BASELINE config 5 scaled down): prompts x seeds
+    batch sharded over the mesh via the serving API."""
+    from clip_diffusion_tpu.parallel.serving import serve_guided_batch
+    from clip_diffusion_tpu.tests_support import build_tiny_pipeline
+
+    pipe, params, _ = build_tiny_pipeline(steps=3)
+    mesh = make_mesh(8)
+    final, frames = serve_guided_batch(
+        pipe, params, prompts_count=4, seeds_per_prompt=2, mesh=mesh
+    )
+    assert final.shape[0] == 8
+    assert len(final.sharding.device_set) == 8
+    assert np.isfinite(np.asarray(final)).all()
