@@ -86,9 +86,27 @@ def guided_diffusion_sample(
     if use_auto_modifiers:
         store_task_state("new_prompt", p.text)
 
+    init_arr = None
+    if init_image is not None:
+        init_arr = normalize_image_neg_one_to_one(
+            load_image(init_image, (config.width, config.height))
+        )[None]
+    # init-image losses follow the reference gate: LPIPS (x1000 default) and
+    # MS-SSIM apply whenever an init image is present and their scale is on
+    # (reference sample.py:216-226, losses.py:38-40)
+    need_lpips = init_arr is not None and config.LPIPS_scale > 0
+    use_init_losses = init_arr is not None and (
+        config.LPIPS_scale > 0 or config.MS_SSIM_scale > 0
+    )
+
     if models is None:
         models = build_models(config, image_size=512,
-                              with_aesthetic=config.aesthetic_scale > 0)
+                              with_aesthetic=config.aesthetic_scale > 0,
+                              with_lpips=need_lpips)
+    elif need_lpips and models.lpips is None:
+        from clip_diffusion_tpu.zoo import build_lpips
+
+        models.lpips = build_lpips()
     if custom_model_params is not None:
         models.unet_params = custom_model_params
 
@@ -104,14 +122,9 @@ def guided_diffusion_sample(
         order=2,
         dynamic_thresholding_percentile=dynamic_thresholding_percentile,
     )
-    init_arr = None
-    if init_image is not None:
-        init_arr = normalize_image_neg_one_to_one(
-            load_image(init_image, (config.width, config.height))
-        )[None]
     pipe, params = build_pipeline(
         models, config, [(p.text, p.weight)], sampler,
-        use_init_losses=init_arr is not None and config.MS_SSIM_scale > 0,
+        use_init_losses=use_init_losses,
     )
 
     timer = StepTimer()

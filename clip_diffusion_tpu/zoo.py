@@ -12,7 +12,7 @@ benches and tests run in this zero-egress environment).
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, Sequence, Tuple
+from typing import Dict, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -46,6 +46,9 @@ class ZooModels:
     unet_params: dict
     clips: Dict[str, Tuple[CLIPModel, dict]]
     aesthetic: Dict[str, Tuple[object, dict]]
+    # (LPIPS module, params) — the reference's module-level lpips.LPIPS("vgg")
+    # singleton (reference sample.py:52); None when init-image losses are off
+    lpips: Optional[Tuple[object, dict]] = None
 
 
 def _host_init(init_fn, *args, param_dtype=jnp.bfloat16, seed: int = 0):
@@ -75,12 +78,30 @@ def _host_init(init_fn, *args, param_dtype=jnp.bfloat16, seed: int = 0):
     return jax.device_put(tree)
 
 
+def build_lpips(param_dtype=jnp.float32, seed: int = 1000):
+    """(LPIPS module, params) — converted checkpoints overwrite the random
+    init via models/convert.convert_lpips + orbax."""
+    from clip_diffusion_tpu.models.lpips import LPIPS
+
+    model = LPIPS(dtype=param_dtype)
+    params = _host_init(
+        lambda: model.init(
+            jax.random.PRNGKey(seed),
+            jnp.ones((1, 64, 64, 3)),
+            jnp.ones((1, 64, 64, 3)),
+        ),
+        param_dtype=param_dtype, seed=seed,
+    )
+    return model, params
+
+
 def build_models(
     config: Config,
     image_size: int = 512,
     param_dtype=jnp.bfloat16,
     seed: int = 0,
     with_aesthetic: bool = False,
+    with_lpips: bool = False,
 ) -> ZooModels:
     """Random-init the flagship model set (checkpoint loading: convert.py).
 
@@ -118,7 +139,8 @@ def build_models(
                 jnp.ones((1, CLIP_DIMS[name])),
             )
             aesthetic[name] = (head, hp)
-    return ZooModels(unet, uparams, clips, aesthetic)
+    lpips = build_lpips(seed=seed + 1000) if with_lpips else None
+    return ZooModels(unet, uparams, clips, aesthetic, lpips)
 
 
 def build_pipeline(
@@ -171,6 +193,11 @@ def build_pipeline(
             }
         )
 
+    lpips_params = ()
+    if lpips_fn is None and models.lpips is not None:
+        lpips_model, lpips_params = models.lpips
+        lpips_fn = lambda p, x, y, m=lpips_model: m.apply(p, x, y)
+
     pipe = GuidedPipeline(
         unet_apply=lambda p, x, t, mod=models.unet: mod.apply(p, x, t),
         perceptors=tuple(perceptors),
@@ -183,6 +210,7 @@ def build_pipeline(
     params = {
         "unet": models.unet_params,
         "perceptors": perceptor_params,
+        "lpips": lpips_params,
     }
     return pipe, params
 

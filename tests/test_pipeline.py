@@ -154,6 +154,37 @@ def test_progress_callback_fires():
     assert seen[0][1] == (1, 64, 64, 3)
 
 
+def test_lpips_init_loss_changes_output():
+    """Reference gate (sample.py:216-226): with an init image present,
+    LPIPS_scale 0 -> 1000 must change the trajectory (the round-1 bug was
+    LPIPS never being wired into the public pipeline)."""
+    import dataclasses
+
+    from clip_diffusion_tpu.zoo import build_lpips
+
+    lpips_model, lpips_params = build_lpips()
+    lpips_fn = lambda p, x, y: lpips_model.apply(p, x, y)
+    init = jnp.full((1, 64, 64, 3), 0.3)
+
+    def run(scale):
+        pipe, params = _tiny_pipeline(clip_scale=0.0, steps=4)
+        pipe = dataclasses.replace(
+            pipe,
+            config=pipe.config.replace(LPIPS_scale=scale, MS_SSIM_scale=0.0),
+            lpips_fn=lpips_fn,
+            use_init_losses=True,
+        )
+        params["lpips"] = lpips_params
+        final, _ = guided_sample(
+            pipe, params, jax.random.PRNGKey(7), batch_size=1, init_image=init
+        )
+        return np.asarray(final)
+
+    f0, f1000 = run(0.0), run(1000.0)
+    assert np.isfinite(f1000).all()
+    assert float(np.abs(f0 - f1000).max()) > 1e-4
+
+
 def test_multi_perceptor_ensemble():
     pipe, params = _tiny_pipeline(num_perceptors=2)
     final, _ = guided_sample(pipe, params, jax.random.PRNGKey(6))
