@@ -125,6 +125,25 @@ def resize_image(image, out_size: int, method: Method = "cubic"):
     )
 
 
+def resize_center_crop(image, out_size: int, method: Method = "cubic"):
+    """Resize-shorter-side-then-center-crop — the reference's CLIP analysis
+    preprocess `T.Resize(224) + T.CenterCrop(224)` (reference
+    functional.py:19-26).  Center-cropping a uniformly resized image equals
+    resampling the centered short-side square window of the original, so
+    this is one crop_resize call (antialiased, no intermediate image)."""
+    h, w = image.shape[0], image.shape[1]
+    s = min(h, w)
+    return crop_resize(
+        image,
+        jnp.float32((h - s) / 2.0),
+        jnp.float32((w - s) / 2.0),
+        jnp.float32(s),
+        jnp.float32(s),
+        out_size,
+        method,
+    )
+
+
 def pad_to_square_resize(image, out_size: int, method: Method = "cubic"):
     """Zero-pad an HWC image to a centered square of its longer side, then
     resize to (out_size, out_size, C) — the reference's overview-cut

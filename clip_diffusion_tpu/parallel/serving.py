@@ -85,11 +85,14 @@ def analyze_image(
     uses ViT-B/16 + ViT-L/14 only — pass just those embed fns)."""
     from clip_diffusion_tpu.guidance.losses import l2_normalize
     from clip_diffusion_tpu.models.clip.model import clip_normalize
-    from clip_diffusion_tpu.ops.resize import resize_image
+    from clip_diffusion_tpu.ops.resize import resize_center_crop
     from clip_diffusion_tpu.text.retrieval import EmbeddingIndex
 
     img = jnp.asarray(image01, jnp.float32)
-    square = resize_image(img, 224)
+    # resize-shorter-side + center-crop, matching the reference's
+    # CLIP_PREPROCESS (reference functional.py:19-26) so embeddings agree
+    # on non-square inputs
+    square = resize_center_crop(img, 224)
     results: Dict[str, List[Tuple[float, str]]] = {"styles": [], "media": []}
     agg_styles = {}
     agg_media = {}
@@ -113,12 +116,18 @@ def analyze_image(
     return results
 
 
-def load_analysis_bank(data_dir: str,
+def load_analysis_bank(data_dir: str = None,
                        models: Sequence[str] = ("ViT-B/16", "ViT-L/14")):
     """Load styles/media banks produced by tools/build_banks.py:
     <dir>/{styles,media}_<model>.npy + {styles,media}_names.txt.
-    Returns None if the directory has no banks."""
+    Defaults to the shipped data/banks (carried reference keyword lists,
+    see data/README.md).  Returns None if the directory has no banks."""
     import numpy as np
+
+    if data_dir is None:
+        from clip_diffusion_tpu.text.prompt import DATA_ROOT
+
+        data_dir = os.path.join(DATA_ROOT, "banks")
 
     def read_names(kind):
         path = os.path.join(data_dir, f"{kind}_names.txt")

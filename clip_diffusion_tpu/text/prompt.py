@@ -8,6 +8,10 @@ append them plus ", trending on artstation.", then split "text:weight".
 
 from __future__ import annotations
 
+import csv
+import functools
+import os
+import warnings
 from typing import Callable, List, Optional, Sequence, Tuple
 
 import numpy as np
@@ -16,6 +20,13 @@ from clip_diffusion_tpu.text.retrieval import EmbeddingIndex
 from clip_diffusion_tpu.text.zh import translate_zh_to_en
 
 ARTSTATION_SUFFIX = ", trending on artstation."
+
+# default data root (carried CSVs under <root>/csv, generated banks under
+# <root>/banks; see data/README.md)
+DATA_ROOT = os.environ.get(
+    "CLIP_DIFFUSION_DATA",
+    os.path.join(os.path.dirname(__file__), "..", "..", "data"),
+)
 
 
 class ModifierBank:
@@ -54,6 +65,58 @@ class ModifierBank:
         return scores[0], [self.keywords[i] for i in idx[0]]
 
 
+def read_modifier_keywords(csv_path: str) -> List[str]:
+    """The `Keyword` column of the carried modifiers.csv (the reference
+    appends `modifier_df.iloc[index]['Keyword']`, prompt.py:65)."""
+    with open(csv_path, newline="", encoding="utf-8") as f:
+        rows = list(csv.reader(f))
+    col = rows[0].index("Keyword") if "Keyword" in rows[0] else 0
+    return [r[col] for r in rows[1:] if r]
+
+
+def _default_t5_encoder():
+    """Sentence-T5 query encoder matching tools/build_banks.py's bank tower
+    (same deterministic init seed, so query and bank embeddings live in the
+    same space; converted real checkpoints replace both in deployment)."""
+    import jax
+    import jax.numpy as jnp
+
+    from clip_diffusion_tpu.models.t5 import SentenceT5, T5Config, t5_tokenize
+    from clip_diffusion_tpu.zoo import _host_init
+
+    model = SentenceT5(T5Config())
+    params = _host_init(
+        lambda: model.init(jax.random.PRNGKey(0), jnp.ones((1, 64), jnp.int32)),
+        param_dtype=jnp.float32, seed=0,
+    )
+    apply = jax.jit(model.apply)
+
+    def encode(text: str) -> np.ndarray:
+        return np.asarray(apply(params, jnp.asarray(t5_tokenize([text]))))[0]
+
+    return encode
+
+
+@functools.lru_cache(maxsize=1)
+def load_modifier_bank(data_root: Optional[str] = None) -> Optional[ModifierBank]:
+    """Default ModifierBank from the shipped data assets: keywords from
+    data/csv/modifiers.csv, embeddings from data/banks/modifiers_t5.npy
+    (built by tools/build_banks.py), sentence-T5 query encoder.  Returns
+    None (with a warning) when the assets are absent."""
+    root = data_root or DATA_ROOT
+    csv_path = os.path.join(root, "csv", "modifiers.csv")
+    emb_path = os.path.join(root, "banks", "modifiers_t5.npy")
+    if not (os.path.exists(csv_path) and os.path.exists(emb_path)):
+        warnings.warn(
+            f"modifier bank assets not found under {root} "
+            "(need csv/modifiers.csv + banks/modifiers_t5.npy; run "
+            "tools/build_banks.py --all) — auto-modifiers disabled"
+        )
+        return None
+    keywords = read_modifier_keywords(csv_path)
+    return ModifierBank(keywords, np.load(emb_path), _default_t5_encoder())
+
+
 class Prompt:
     """Reference-compatible Prompt: `.text` and `.weight` after
     preprocessing (reference prompt.py:27-33).
@@ -80,6 +143,8 @@ class Prompt:
     def _preprocess(self, prompt, use_auto_modifiers, num_modifiers,
                     bank, translator):
         prompt = translate_zh_to_en(prompt, translator)
+        if use_auto_modifiers and bank is None:
+            bank = load_modifier_bank()  # default shipped bank (or None)
         if use_auto_modifiers and bank is not None:
             _, keywords = bank.topk(prompt, num_modifiers)
             for kw in keywords:

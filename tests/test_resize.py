@@ -105,3 +105,46 @@ def test_traced_geometry_no_retrace():
     out2 = f(img, jnp.float32(5), jnp.float32(5), jnp.float32(20))
     assert out1.shape == out2.shape == (8, 8, 3)
     assert f._cache_size() == 1
+
+
+def test_resize_center_crop_square_equals_resize():
+    """On a square image, resize+center-crop degenerates to a plain resize."""
+    from clip_diffusion_tpu.ops.resize import resize_center_crop
+
+    img = jax.random.uniform(jax.random.PRNGKey(7), (64, 64, 3))
+    np.testing.assert_allclose(
+        np.asarray(resize_center_crop(img, 16)),
+        np.asarray(resize_image(img, 16)),
+        atol=1e-6,
+    )
+
+
+def test_resize_center_crop_nonsquare_matches_pil():
+    """Non-square input: resize-shorter-side + center-crop must match the
+    reference's torchvision preprocess (reference functional.py:19-26).
+    Oracle: PIL bicubic resize (shorter side -> out) + center crop — same
+    Catmull-Rom a=-0.5 kernel family as ops/resize."""
+    from PIL import Image
+
+    from clip_diffusion_tpu.ops.resize import resize_center_crop
+
+    rng = np.random.default_rng(0)
+    h, w, out = 48, 96, 24
+    img = rng.uniform(0, 1, (h, w, 3)).astype(np.float32)
+
+    got = np.asarray(resize_center_crop(jnp.asarray(img), out))
+    assert got.shape == (out, out, 3)
+
+    pil = Image.fromarray((img * 255).astype(np.uint8))
+    scale = out / min(h, w)
+    rw, rh = round(w * scale), round(h * scale)
+    resized = pil.resize((rw, rh), Image.BICUBIC)
+    left = (rw - out) // 2
+    top = (rh - out) // 2
+    oracle = (
+        np.asarray(resized.crop((left, top, left + out, top + out)), np.float32)
+        / 255.0
+    )
+    # uint8 quantization + boundary handling differences: loose tolerance
+    assert np.abs(got - oracle).mean() < 0.02
+    assert np.abs(got - oracle).max() < 0.12

@@ -158,3 +158,60 @@ def test_load_analysis_bank(tmp_path):
     assert "ViT-B/16" in bank.styles
     assert "ViT-L/14" in bank.media
     assert load_analysis_bank(str(tmp_path / "nope")) is None
+
+
+def test_shipped_modifier_bank_appends_real_keywords():
+    """Default-wired data assets (VERDICT item 4): Prompt with
+    use_auto_modifiers=True and no explicit bank loads data/csv +
+    data/banks and appends real reference keywords."""
+    from clip_diffusion_tpu.text.prompt import (
+        load_modifier_bank,
+        read_modifier_keywords,
+    )
+
+    bank = load_modifier_bank()
+    assert bank is not None, "shipped bank assets missing"
+    assert len(bank.keywords) == 120  # reference modifiers.csv row count
+
+    # stub the heavyweight T5 query encoder with a bank-row lookup so the
+    # test exercises retrieval + append without a 110M-param forward
+    target = bank.keywords[7]
+    bank_stub = type(bank)(
+        bank.keywords,
+        bank.index.embeddings,
+        encoder=lambda text: np.asarray(bank.index.embeddings[7]),
+    )
+    p = Prompt("a castle", use_auto_modifiers=True, num_modifiers=1,
+               modifier_bank=bank_stub)
+    assert target.lower() in p.text.lower()
+    assert p.text.endswith("trending on artstation.")
+
+    csv_path = os.path.join(
+        os.path.dirname(__file__), "..", "data", "csv", "modifiers.csv"
+    )
+    kws = read_modifier_keywords(csv_path)
+    assert kws == bank.keywords
+
+
+def test_shipped_analysis_bank_returns_real_names():
+    """analyze_image with the default shipped banks returns top-3 real
+    style/media names from the carried CSVs."""
+    from clip_diffusion_tpu.parallel.serving import load_analysis_bank
+
+    bank = load_analysis_bank()
+    assert bank is not None, "shipped analysis banks missing"
+    assert len(bank.style_names) == 397
+    assert len(bank.media_names) == 95
+    assert bank.styles["ViT-B/16"].shape == (397, 512)
+    assert bank.media["ViT-L/14"].shape == (95, 768)
+
+    rng = np.random.default_rng(0)
+    img = rng.uniform(0, 1, (48, 64, 3)).astype(np.float32)
+
+    def embed_b16(x):
+        return rng.standard_normal((x.shape[0], 512)).astype(np.float32)
+
+    out = analyze_image(img, {"ViT-B/16": embed_b16}, bank, top_k=3)
+    assert len(out["styles"]) == 3 and len(out["media"]) == 3
+    assert all(name in bank.style_names for _, name in out["styles"])
+    assert all(name in bank.media_names for _, name in out["media"])

@@ -4,15 +4,20 @@
 The reference ships precomputed banks (data/csv/modifiers.csv 120 keywords,
 styles.csv 397, media.csv 95, with per-model embedding .npy + faiss
 indices; reference prompt.py:22-24, utils/anvil_utils.py:19-33).  This tool
-regenerates equivalents from keyword lists using this framework's own CLIP
-text towers (for styles/media, which the reference embeds with CLIP) —
-no faiss required (text/retrieval.py does exact IP top-k).
+regenerates equivalents from the carried CSVs using this framework's own
+towers: sentence-T5 for modifiers (the reference uses
+sentence-transformers/sentence-t5-base, prompt.py:18-20), CLIP text towers
+for styles/media — no faiss required (text/retrieval.py does exact IP
+top-k over these small banks).
 
-Input: a text file with one keyword per line (or a CSV whose first column
-is the keyword).  Output: <out>/<kind>_<model>.npy + <kind>_names.txt.
+Typical use (after converting real checkpoints with fetch_and_convert.py):
 
-    python tools/build_banks.py --keywords styles.txt --kind styles \
-        --models ViT-B/16 ViT-L/14 --out data/banks
+    python tools/build_banks.py --all --out data/banks
+
+or one bank at a time:
+
+    python tools/build_banks.py --keywords data/csv/styles.csv \
+        --kind styles --models ViT-B/16 ViT-L/14 --out data/banks
 """
 
 import argparse
@@ -22,53 +27,132 @@ import sys
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
+# CSV column holding the keyword, per kind (reference prompt.py:65,
+# anvil_utils.py:87-91)
+KIND_COLUMNS = {"modifiers": "Keyword", "styles": "style", "media": "medium"}
 
-def read_keywords(path: str):
+
+def read_keywords(path: str, column: str = None):
+    """Keyword list from a one-per-line text file or a CSV (by header name,
+    falling back to the first column)."""
     if path.endswith(".csv"):
         with open(path, newline="", encoding="utf-8") as f:
             rows = list(csv.reader(f))
-        header = rows[0]
-        return [r[0] for r in rows[1:] if r]
+        header, body = rows[0], rows[1:]
+        col = header.index(column) if column and column in header else 0
+        return [r[col] for r in body if r]
     with open(path, encoding="utf-8") as f:
         return [line.strip() for line in f if line.strip()]
 
 
-def main():
-    p = argparse.ArgumentParser()
-    p.add_argument("--keywords", required=True)
-    p.add_argument("--kind", default="styles")
-    p.add_argument("--models", nargs="+", default=["ViT-B/16", "ViT-L/14"])
-    p.add_argument("--out", default="data/banks")
-    p.add_argument("--normalize", action="store_true", default=True)
-    args = p.parse_args()
-
-    import jax.numpy as jnp
-    import numpy as np
-
-    from clip_diffusion_tpu.config import Config
-    from clip_diffusion_tpu.guidance.losses import l2_normalize
-    from clip_diffusion_tpu.models.clip.model import CLIPModel
-    from clip_diffusion_tpu.models.clip.tokenizer import tokenize
-    from clip_diffusion_tpu.zoo import build_models
-
-    keywords = read_keywords(args.keywords)
-    os.makedirs(args.out, exist_ok=True)
-    with open(os.path.join(args.out, f"{args.kind}_names.txt"), "w",
+def write_names(out_dir: str, kind: str, keywords):
+    os.makedirs(out_dir, exist_ok=True)
+    with open(os.path.join(out_dir, f"{kind}_names.txt"), "w",
               encoding="utf-8") as f:
         f.write("\n".join(keywords))
 
-    config = Config(chosen_clip_models=tuple(args.models))
-    models = build_models(config)
+
+def build_clip_bank(keywords, kind, model_names, out_dir, seed=0):
+    """Per-CLIP-model text embeddings of the keywords (normalized — the
+    reference banks are IP-metric over unit vectors).  Only the text towers
+    are initialized (method-scoped init): no UNet, no visual towers."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from clip_diffusion_tpu.guidance.losses import l2_normalize
+    from clip_diffusion_tpu.models.clip import CLIP_PRESETS, CLIPModel
+    from clip_diffusion_tpu.models.clip.tokenizer import tokenize
+    from clip_diffusion_tpu.zoo import _host_init
+
+    write_names(out_dir, kind, keywords)
     toks = jnp.asarray(tokenize(keywords))
-    for name, (model, params) in models.clips.items():
-        emb = model.apply(params, toks, method=CLIPModel.encode_text)
-        if args.normalize:
-            emb = l2_normalize(emb, axis=-1)
-        out = os.path.join(
-            args.out, f"{args.kind}_{name.replace('/', '_')}.npy"
+    for i, name in enumerate(model_names):
+        ccfg = dataclasses.replace(CLIP_PRESETS[name], dtype=jnp.float32)
+        model = CLIPModel(ccfg)
+        params = _host_init(
+            lambda m=model: m.init(
+                jax.random.PRNGKey(seed), toks[:1],
+                method=CLIPModel.encode_text,
+            ),
+            param_dtype=jnp.float32, seed=seed + i + 1,
         )
+        emb = l2_normalize(
+            jax.jit(lambda p, t, m=model: m.apply(
+                p, t, method=CLIPModel.encode_text
+            ))(params, toks),
+            axis=-1,
+        )
+        out = os.path.join(out_dir, f"{kind}_{name.replace('/', '_')}.npy")
         np.save(out, np.asarray(emb, np.float32))
         print(f"{out}: {emb.shape}")
+
+
+def build_modifier_bank(keywords, out_dir, seed=0):
+    """Sentence-T5 embeddings of the modifier keywords (already unit-norm —
+    SentenceT5 L2-normalizes its pooled projection)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from clip_diffusion_tpu.models.t5 import SentenceT5, T5Config, t5_tokenize
+    from clip_diffusion_tpu.zoo import _host_init
+
+    write_names(out_dir, "modifiers", keywords)
+    model = SentenceT5(T5Config())
+    params = _host_init(
+        lambda: model.init(
+            jax.random.PRNGKey(seed), jnp.ones((1, 64), jnp.int32)
+        ),
+        param_dtype=jnp.float32, seed=seed,
+    )
+    toks = jnp.asarray(t5_tokenize(keywords))
+    emb = jax.jit(model.apply)(params, toks)
+    out = os.path.join(out_dir, "modifiers_t5.npy")
+    np.save(out, np.asarray(emb, np.float32))
+    print(f"{out}: {emb.shape}")
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--all", action="store_true",
+                   help="build modifiers+styles+media from data/csv/")
+    p.add_argument("--keywords")
+    p.add_argument("--kind", default="styles",
+                   choices=("modifiers", "styles", "media"))
+    p.add_argument("--models", nargs="+", default=["ViT-B/16", "ViT-L/14"])
+    p.add_argument("--out", default="data/banks")
+    p.add_argument("--csv-dir", default="data/csv")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--cpu", action="store_true",
+                   help="run on host CPU (leave the TPU free)")
+    args = p.parse_args()
+
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
+    if args.all:
+        for kind in ("modifiers", "styles", "media"):
+            kws = read_keywords(
+                os.path.join(args.csv_dir, f"{kind}.csv"), KIND_COLUMNS[kind]
+            )
+            if kind == "modifiers":
+                build_modifier_bank(kws, args.out, args.seed)
+            else:
+                build_clip_bank(kws, kind, args.models, args.out, args.seed)
+        return
+
+    if not args.keywords:
+        p.error("--keywords required unless --all")
+    kws = read_keywords(args.keywords, KIND_COLUMNS.get(args.kind))
+    if args.kind == "modifiers":
+        build_modifier_bank(kws, args.out, args.seed)
+    else:
+        build_clip_bank(kws, args.kind, args.models, args.out, args.seed)
 
 
 if __name__ == "__main__":

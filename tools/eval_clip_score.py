@@ -41,13 +41,15 @@ def clip_score(embed_image, embed_text, images01, prompts, resolution=224):
     from clip_diffusion_tpu.guidance.losses import l2_normalize
     from clip_diffusion_tpu.models.clip.model import clip_normalize
     from clip_diffusion_tpu.models.clip.tokenizer import tokenize
-    from clip_diffusion_tpu.ops.resize import resize_image
+    from clip_diffusion_tpu.ops.resize import resize_center_crop
 
     scores = []
     toks = tokenize(prompts)
     text_emb = np.asarray(l2_normalize(embed_text(jnp.asarray(toks)), axis=-1))
     for img, temb in zip(images01, text_emb):
-        square = resize_image(jnp.asarray(img, jnp.float32), resolution)
+        # reference CLIP preprocess: resize shorter side + center crop
+        # (reference functional.py:19-26)
+        square = resize_center_crop(jnp.asarray(img, jnp.float32), resolution)
         iemb = np.asarray(
             l2_normalize(embed_image(clip_normalize(square[None])), axis=-1)
         )[0]
