@@ -1,22 +1,23 @@
 """Benchmark: guided-diffusion images/min/chip at 512^2, 250 steps.
 
-Measures the steady-state per-timestep latency of the FULL fused guided step
-(552M-param UNet fwd+bwd, dynamic thresholding, the complete Disco cutout
-schedule across all configured CLIP perceptors, spherical/TV/range losses,
-guidance grad, conditioned DDIM update) on one chip and extrapolates to
-images/minute at 250 steps.
+DEFAULT MODE (round 2+): times COMPLETE 250-step phase-segmented guided
+trajectories end to end on the chip (552M-param UNet fwd+bwd, dynamic
+thresholding, the full Disco cutout schedule with exact-sized per-phase
+programs across all 4 CLIP perceptors, spherical/TV losses, guidance grad,
+conditioned DDIM updates) — a real image per run, no extrapolation.
+`--quick` restores the round-1 K-step steady-state extrapolation.
 
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "images/min", "vs_baseline": N}
 
-vs_baseline: the reference publishes no numbers (BASELINE.md); its stack
-(T4-class Colab GPU, torch fp16, batch 1, 2 UNet fwd + 1 VJP + 64 serial
-CLIP cutout embeds per step at 512^2/250 steps) runs ~12.5 min/image
+vs_baseline: the reference publishes no numbers (BASELINE.md §provenance);
+its stack (T4-class Colab GPU, torch fp16, batch 1, 2 UNet fwd + 1 VJP + 64
+serial CLIP cutout embeds per step at 512^2/250 steps) runs ~12.5 min/image
 (Disco-Diffusion-family community timing for this exact configuration)
 => 0.08 images/min is the baseline estimate used here.
 
-Flags: --smoke (tiny models, CI), --steps N, --measure K, --clips LIST,
---batch B, --width W --height H.
+Flags: --smoke (tiny models, CI), --quick (K-step extrapolation),
+--steps N, --measure K, --clips LIST, --batch B, --width W --height H.
 """
 
 import argparse
@@ -158,6 +159,7 @@ def bench_trajectory(args, config, pipe, params):
         "detail": {
             "mode": "full-trajectory",
             "trajectory_s": round(traj_s, 1),
+            "per_step_ms": round(traj_s / args.steps / args.batch * 1000, 1),
             "steps": args.steps,
             "batch": args.batch,
             "canvas": f"{config.width}x{config.height}",
@@ -173,7 +175,10 @@ def bench_trajectory(args, config, pipe, params):
 
 def bench_smoke(args):
     import jax
-    import jax.numpy as jnp
+
+    # tiny-model smoke is a wiring check, not a perf number: the remote TPU
+    # relay charges ~seconds per small dispatch, so run it on host CPU
+    jax.config.update("jax_platforms", "cpu")
 
     from clip_diffusion_tpu.tests_support import build_tiny_pipeline
 
@@ -193,15 +198,21 @@ def bench_smoke(args):
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--smoke", action="store_true")
+    p.add_argument("--quick", action="store_true",
+                   help="K-step steady-state extrapolation (round-1 mode) "
+                        "instead of full trajectories")
     p.add_argument("--steps", type=int, default=DEFAULT_STEPS)
     p.add_argument("--measure", type=int, default=8)
-    p.add_argument("--repeats", type=int, default=3)
+    p.add_argument("--repeats", type=int, default=None,
+                   help="measured runs (default: 1 trajectory / 3 quick)")
     p.add_argument("--chunk", type=int, default=25,
                    help="max sampler steps per device dispatch")
-    p.add_argument("--segmented", action="store_true",
-                   help="exact-sized program per cutout-schedule phase")
-    p.add_argument("--trajectory", action="store_true",
-                   help="time the full trajectory instead of K steps")
+    p.add_argument("--segmented", action="store_true", default=None,
+                   help="exact-sized program per cutout-schedule phase "
+                        "(default: on in trajectory mode)")
+    p.add_argument("--no-segmented", dest="segmented", action="store_false")
+    p.add_argument("--trajectory", action="store_true", default=None,
+                   help="time the full trajectory (default unless --quick)")
     p.add_argument("--batch", type=int, default=1)
     p.add_argument("--width", type=int, default=512)
     p.add_argument("--height", type=int, default=512)
@@ -210,6 +221,15 @@ def main():
         "--clips", type=str, default="ViT-B/32,ViT-B/16,ViT-L/14,RN101"
     )
     args = p.parse_args()
+
+    # default mode: full segmented trajectories (a real image per run);
+    # --quick restores the K-step extrapolation
+    if args.trajectory is None:
+        args.trajectory = not args.quick
+    if args.segmented is None:
+        args.segmented = args.trajectory
+    if args.repeats is None:
+        args.repeats = 1 if args.trajectory else 3
 
     _enable_compile_cache()
     # the remote compile/execute service fails transiently (HTTP 500 /
