@@ -48,7 +48,50 @@ def tw_to_simplified(text: str) -> str:
 
 
 @functools.lru_cache()
+def _native_marian_translator() -> Optional[Callable[[str], str]]:
+    """The native Flax Marian (models/marian.py) when converted weights and
+    tokenizer assets are provisioned: $MARIAN_PARAMS_PATH (orbax dir, see
+    tools/fetch_and_convert.py) + source.spm/vocab.json."""
+    import os
+
+    params_path = os.environ.get("MARIAN_PARAMS_PATH", "data/marian/params")
+    if not os.path.isdir(params_path):
+        return None
+    try:
+        import jax.numpy as jnp
+
+        from clip_diffusion_tpu.models.marian import (
+            MarianConfig,
+            MarianMT,
+            _assets,
+            greedy_decode,
+            marian_detokenize,
+            marian_tokenize,
+        )
+        from clip_diffusion_tpu.utils.checkpoint import load_params
+
+        if _assets()[0] is None:  # weights without a real tokenizer: useless
+            return None
+        cfg = MarianConfig.opus_zh_en()
+        model = MarianMT(cfg)
+        params = load_params(params_path)
+
+        def translate(text: str) -> str:
+            ids = jnp.asarray(marian_tokenize([text], cfg=cfg))
+            out = greedy_decode(model, params, ids)
+            return marian_detokenize(out[0], cfg)
+
+        return translate
+    except Exception as e:  # pragma: no cover - asset problems
+        warnings.warn(f"native Marian unavailable: {e}")
+        return None
+
+
+@functools.lru_cache()
 def _marian_translator() -> Optional[Callable[[str], str]]:
+    native = _native_marian_translator()
+    if native is not None:
+        return native
     try:
         from transformers import pipeline
 

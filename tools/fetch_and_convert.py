@@ -129,6 +129,32 @@ def convert_clip_ckpt(name: str, path: str):
     print(f"converted -> {out}")
 
 
+def convert_marian_ckpt():
+    """Fetch Helsinki-NLP/opus-mt-zh-en via transformers and convert to the
+    native Flax Marian (models/marian.py) + tokenizer assets under
+    data/marian/ (the paths text/zh.py's native gate looks for)."""
+    import shutil
+
+    from transformers import MarianMTModel, MarianTokenizer
+
+    from clip_diffusion_tpu.models.marian import MarianConfig, convert_marian
+    from clip_diffusion_tpu.utils.checkpoint import save_params
+
+    name = "Helsinki-NLP/opus-mt-zh-en"
+    hf = MarianMTModel.from_pretrained(name)
+    params = convert_marian(hf.state_dict(), MarianConfig.opus_zh_en())
+    out = os.path.join("data", "marian")
+    os.makedirs(out, exist_ok=True)
+    save_params(os.path.join(out, "params"), params)
+    tok = MarianTokenizer.from_pretrained(name)
+    tmp = os.path.join(out, "_tok")
+    tok.save_pretrained(tmp)
+    shutil.copy(os.path.join(tmp, "source.spm"), os.path.join(out, "source.spm"))
+    shutil.copy(os.path.join(tmp, "vocab.json"), os.path.join(out, "vocab.json"))
+    shutil.rmtree(tmp)
+    print(f"converted -> {out}")
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--all", action="store_true")
@@ -137,6 +163,7 @@ def main():
     p.add_argument("--esrgan", action="store_true")
     p.add_argument("--aesthetic", action="store_true")
     p.add_argument("--vocab", action="store_true")
+    p.add_argument("--marian", action="store_true")
     p.add_argument("--clip", action="append", default=[])
     args = p.parse_args()
 
@@ -161,6 +188,8 @@ def main():
     if args.all or args.aesthetic:
         for name, (url, fname) in AESTHETIC.items():
             _download(url, os.path.join(MODEL_DIR, fname))
+    if args.all or args.marian:
+        convert_marian_ckpt()
     print("done")
 
 
