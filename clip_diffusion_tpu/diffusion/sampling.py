@@ -58,14 +58,24 @@ class SamplerConfig:
 
 def schedule_tables(sched: NoiseSchedule, dtype=jnp.float32) -> Dict[str, Any]:
     """NoiseSchedule -> pytree of device arrays for in-scan gathering."""
+    return {
+        k: jnp.asarray(v) for k, v in schedule_tables_np(sched, dtype).items()
+    }
+
+
+def schedule_tables_np(sched: NoiseSchedule, dtype=jnp.float32) -> Dict[str, Any]:
+    """NoiseSchedule -> numpy tables.  Use this form for values closed over
+    by functions that are CACHED across jit traces (lru-cached runners,
+    step builders): numpy closures are trace-safe, whereas jnp constants
+    created under one outer trace leak as stale tracers into the next."""
     tables = {}
     for f in dataclasses.fields(sched):
         v = getattr(sched, f.name)
         if isinstance(v, np.ndarray):
             if v.dtype.kind == "f":
-                tables[f.name] = jnp.asarray(v, dtype=dtype)
+                tables[f.name] = v.astype(np.dtype(dtype))
             else:
-                tables[f.name] = jnp.asarray(v)
+                tables[f.name] = v
     return tables
 
 

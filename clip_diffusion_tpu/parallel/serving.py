@@ -155,6 +155,34 @@ def load_analysis_bank(data_dir: str = None,
     )
 
 
+def make_analyzer(models, bank: "AnalysisBank" = None,
+                  model_names: Sequence[str] = ("ViT-B/16", "ViT-L/14")):
+    """Default `analyze_image` closure for runtime/server.py: the zoo's CLIP
+    towers (analysis uses ViT-B/16 + ViT-L/14, reference anvil_utils.py:
+    28-33,75-95) + the shipped style/media banks.  Returns None if neither
+    a bank nor the default data assets exist."""
+    from clip_diffusion_tpu.models.clip.model import CLIPModel
+
+    bank = bank or load_analysis_bank()
+    if bank is None:
+        return None
+    embed_fns = {}
+    for name in model_names:
+        if name not in models.clips:
+            continue
+        model, params = models.clips[name]
+        embed_fns[name] = (
+            lambda im, m=model, p=params: jax.jit(
+                lambda pp, ii: m.apply(pp, ii, method=CLIPModel.encode_image)
+            )(p, im)
+        )
+    if not embed_fns:
+        return None
+    return lambda image01, top_k=3: analyze_image(
+        image01, embed_fns, bank, top_k
+    )
+
+
 # --------------------------------------------------------------------------
 # Pod-sharded batch generation
 # --------------------------------------------------------------------------
@@ -168,16 +196,40 @@ def serve_guided_batch(
     mesh=None,
 ):
     """Run `prompts_count x seeds_per_prompt` guided generations as one
-    sharded batch over the (prompt, seed) mesh.
+    sharded batch over the (prompt, seed) mesh (BASELINE config 5: 8
+    distinct prompts x 4 seeds).
 
-    For heterogeneous prompts, group requests by prompt embedding and vmap;
-    round-1 serving shards a single prompt's seed fan-out plus identical
-    prompt rows (the BASELINE config-5 layout is symmetric)."""
+    Heterogeneous prompts: build the pipeline with a LIST of per-prompt
+    (text, weight) lists (zoo.build_pipeline) so each perceptor's
+    text_embeddings is (prompts_count, Pmax, D); rows are repeated
+    seeds_per_prompt times here, giving every batch element its own prompt
+    while seeds fan out within a prompt.  2-D embeddings (one shared prompt)
+    keep the round-1 replicated behavior."""
     from clip_diffusion_tpu.pipeline.guided import guided_sample
 
     mesh = mesh or make_mesh()
     batch = prompts_count * seeds_per_prompt
     key = jax.random.PRNGKey(base_seed)
+
+    te0 = params["perceptors"][0]["text_embeddings"]
+    if getattr(te0, "ndim", 2) == 3:
+        if te0.shape[0] != prompts_count:
+            raise ValueError(
+                f"params carry {te0.shape[0]} prompts, expected {prompts_count}"
+            )
+        params = dict(params)
+        params["perceptors"] = [
+            {
+                **pp,
+                "text_embeddings": jnp.repeat(
+                    pp["text_embeddings"], seeds_per_prompt, axis=0
+                ),
+                "text_weights": jnp.repeat(
+                    pp["text_weights"], seeds_per_prompt, axis=0
+                ),
+            }
+            for pp in params["perceptors"]
+        ]
 
     out_sh = batch_sharding(mesh)
     final, frames = jax.jit(

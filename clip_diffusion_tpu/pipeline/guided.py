@@ -67,6 +67,7 @@ from clip_diffusion_tpu.diffusion.sampling import (
     push_history,
     q_sample,
     schedule_tables,
+    schedule_tables_np,
 )
 from clip_diffusion_tpu.diffusion.schedule import NoiseSchedule
 from clip_diffusion_tpu.guidance.cutouts import CutoutSpec, make_cutouts_batch
@@ -139,18 +140,37 @@ def _schedule_index(tables, step):
 
 
 def make_guidance_loss(pipe: GuidedPipeline, tables, sched_arrays,
-                       slot_caps: Optional[Tuple[int, int]] = None):
+                       slot_caps: Optional[Tuple[int, int]] = None,
+                       perceptor_subset: Optional[Tuple[int, ...]] = None,
+                       include_image_terms: bool = True):
     """Build loss(params, x, step, key) -> (scalar, aux), differentiated
     w.r.t. x.  The scalar sums per-image losses (batch elements are
     independent, so d(sum)/dx gives each image its own gradient).
 
     `slot_caps`: optional (max_overview, max_inner) override — used by the
     phase-segmented runner to compile exact-sized cutout batches with zero
-    padded slots."""
+    padded slots.
+
+    `perceptor_subset`: restrict the CLIP ensemble to these perceptor
+    indices (parallel/ensemble.py shards the ensemble over a mesh axis and
+    psums the guidance gradients); cutout RNG folds in the PERCEPTOR index
+    so a subset's cutouts are identical to the non-shared single-device
+    run's.  `include_image_terms=False` drops the whole-image TV/range/
+    init-image terms (they must be counted once across the ensemble axis,
+    not once per device)."""
     cfg = pipe.config
-    n_ov_table, n_in_table, power_table, gray_table = sched_arrays
+    # closures hold NUMPY tables; device constants are materialized inside
+    # the traced function.  The built loss_fn is cached across independent
+    # jit traces (lru-cached runners), and jnp constants created during one
+    # outer trace would leak as stale tracers into the next.
+    tables_np = {k: np.asarray(v) for k, v in tables.items()}  # numpy in, numpy kept
+    sched_np = tuple(np.asarray(a) for a in sched_arrays)
 
     def loss_fn(x, params, step, key):
+        tables = {k: jnp.asarray(v) for k, v in tables_np.items()}
+        n_ov_table, n_in_table, power_table, gray_table = (
+            jnp.asarray(a) for a in sched_np
+        )
         b = x.shape[0]
         t_scaled = jnp.broadcast_to(tables["scaled_timesteps"][step], (b,))
         model_out = pipe.unet_apply(params["unet"], x, t_scaled)
@@ -169,20 +189,30 @@ def make_guidance_loss(pipe: GuidedPipeline, tables, sched_arrays,
 
         total = jnp.float32(0.0)
         if cfg.clip_guidance_scale > 0:
+            if perceptor_subset is not None:
+                # ensemble-sharded: one group per perceptor, keyed by its
+                # GLOBAL index (RNG parity with the non-shared full run)
+                groups = [
+                    (pipe.perceptors[pi].input_resolution, [pi])
+                    for pi in perceptor_subset
+                ]
+                group_keys = list(perceptor_subset)
             # group perceptors that can share one cutout batch (see
             # Config.share_cutouts_across_perceptors)
-            if cfg.share_cutouts_across_perceptors:
-                groups: Dict[int, list] = {}
+            elif cfg.share_cutouts_across_perceptors:
+                groups_d: Dict[int, list] = {}
                 for pi, perc in enumerate(pipe.perceptors):
-                    groups.setdefault(perc.input_resolution, []).append(pi)
-                groups = list(groups.items())
+                    groups_d.setdefault(perc.input_resolution, []).append(pi)
+                groups = list(groups_d.items())
+                group_keys = list(range(len(groups)))
             else:
                 groups = [
                     (perc.input_resolution, [pi])
                     for pi, perc in enumerate(pipe.perceptors)
                 ]
+                group_keys = list(range(len(groups)))
             gdtype = jnp.dtype(cfg.guidance_dtype)
-            for gi, (resolution, members) in enumerate(groups):
+            for gi, (resolution, members) in zip(group_keys, groups):
                 gkey = jax.random.fold_in(key, gi)
                 spec = pipe.cutout_spec(resolution, slot_caps)
                 cuts, w = make_cutouts_batch(
@@ -199,14 +229,21 @@ def make_guidance_loss(pipe: GuidedPipeline, tables, sched_arrays,
                     embs = perc.embed_image(pp["clip"], cuts_flat).reshape(
                         b, n, -1
                     )
-                    # (B, N, P) spherical distances vs weighted prompts
-                    d = square_spherical_distance_loss(
-                        embs[:, :, None, :],
-                        pp["text_embeddings"][None, None, :, :],
-                    )
-                    weighted = jnp.sum(
-                        d * pp["text_weights"][None, None, :], axis=-1
-                    )
+                    # (B, N, P) spherical distances vs weighted prompts.
+                    # text_embeddings (P, D): one prompt set shared by the
+                    # whole batch; (B, P, D): heterogeneous per-image
+                    # prompts (pod serving), padded terms carry zero weight.
+                    te, tw = pp["text_embeddings"], pp["text_weights"]
+                    if te.ndim == 3:
+                        d = square_spherical_distance_loss(
+                            embs[:, :, None, :], te[:, None, :, :]
+                        )
+                        weighted = jnp.sum(d * tw[:, None, :], axis=-1)
+                    else:
+                        d = square_spherical_distance_loss(
+                            embs[:, :, None, :], te[None, None, :, :]
+                        )
+                        weighted = jnp.sum(d * tw[None, None, :], axis=-1)
                     total += cfg.clip_guidance_scale * jnp.sum(w * weighted)
                     if perc.aesthetic_fn is not None and cfg.aesthetic_scale > 0:
                         scores = perc.aesthetic_fn(
@@ -214,11 +251,11 @@ def make_guidance_loss(pipe: GuidedPipeline, tables, sched_arrays,
                         )[..., 0]
                         total -= cfg.aesthetic_scale * jnp.sum(w * scores)
 
-        if cfg.denoise_scale > 0:
+        if include_image_terms and cfg.denoise_scale > 0:
             total += cfg.denoise_scale * jnp.sum(total_variational_loss(denoised))
-        if cfg.range_scale > 0:
+        if include_image_terms and cfg.range_scale > 0:
             total += cfg.range_scale * jnp.sum(rgb_range_loss(denoised))
-        if pipe.use_init_losses:
+        if include_image_terms and pipe.use_init_losses:
             init_image = params["init_image"]
             if pipe.lpips_fn is not None and cfg.LPIPS_scale > 0:
                 total += cfg.LPIPS_scale * jnp.sum(
@@ -249,15 +286,17 @@ def build_guided_step(pipe: GuidedPipeline,
 
     carry = (x, eps_history, history_count); RNG is derived per step from a
     base key folded with the step index (independent of scan order)."""
-    tables = schedule_tables(pipe.schedule)
-    sched_arrays = tuple(
-        jnp.asarray(a) for a in pipe.config.cutout_schedules.as_arrays()
+    # numpy in the closure, device constants inside the trace (see
+    # make_guidance_loss: cached runners must not pin one trace's constants)
+    tables_np = schedule_tables_np(pipe.schedule)
+    loss_fn = make_guidance_loss(
+        pipe, tables_np, pipe.config.cutout_schedules.as_arrays(), slot_caps
     )
-    loss_fn = make_guidance_loss(pipe, tables, sched_arrays, slot_caps)
     grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
     sampler = pipe.sampler
 
     def step_fn(params, carry, step, base_key):
+        tables = {k: jnp.asarray(v) for k, v in tables_np.items()}
         x, eps_hist, hist_count = carry
         key = jax.random.fold_in(base_key, step)
         k_cut, k_noise = jax.random.split(key)
@@ -266,36 +305,45 @@ def build_guided_step(pipe: GuidedPipeline,
             x, params, step, k_cut
         )
         guidance = _clamp_guidance_grad(-grad, pipe.config.grad_threshold)
+        return apply_sampler_update(
+            sampler, tables, (x, eps_hist, hist_count), step, pred_x0_raw,
+            guidance, k_noise,
+        )
 
-        # sampler path: threshold pred_x0, re-derive eps, condition on the
-        # guidance gradient (guided-diffusion condition_score order)
-        if sampler.thresholding_method == "histogram":
-            from clip_diffusion_tpu.ops.quantile import dynamic_threshold_fast
+    return step_fn, tables_np
 
-            pred_x0_thr = dynamic_threshold_fast(
-                pred_x0_raw, sampler.dynamic_thresholding_percentile
-            )
-        else:
-            pred_x0_thr = dynamic_threshold(
-                pred_x0_raw, sampler.dynamic_thresholding_percentile
-            )
-        eps_thr = predict_eps_from_xstart(x, pred_x0_thr, tables, step)
-        eps_cond = condition_eps(eps_thr, guidance, tables, step)
-        pred_x0_final = predict_xstart_from_eps(x, eps_cond, tables, step)
 
-        if sampler.mode == "plms":
-            eps_prime = plms_eps(eps_cond, eps_hist, hist_count, sampler.order)
-            x_next = plms_step(x, eps_prime, tables, step)
-            eps_hist = push_history(eps_cond, eps_hist)
-            hist_count = hist_count + 1
-        else:
-            noise = jax.random.normal(k_noise, x.shape, x.dtype)
-            x_next = ddim_step(
-                x, eps_cond, pred_x0_final, tables, step, sampler.eta, noise
-            )
-        return (x_next, eps_hist, hist_count), pred_x0_final
+def apply_sampler_update(sampler, tables, carry, step, pred_x0_raw, guidance,
+                         k_noise):
+    """Post-guidance sampler update: threshold pred_x0, re-derive eps,
+    condition on the guidance gradient (guided-diffusion condition_score
+    order), then the DDIM or PLMS step."""
+    x, eps_hist, hist_count = carry
+    if sampler.thresholding_method == "histogram":
+        from clip_diffusion_tpu.ops.quantile import dynamic_threshold_fast
 
-    return step_fn, tables
+        pred_x0_thr = dynamic_threshold_fast(
+            pred_x0_raw, sampler.dynamic_thresholding_percentile
+        )
+    else:
+        pred_x0_thr = dynamic_threshold(
+            pred_x0_raw, sampler.dynamic_thresholding_percentile
+        )
+    eps_thr = predict_eps_from_xstart(x, pred_x0_thr, tables, step)
+    eps_cond = condition_eps(eps_thr, guidance, tables, step)
+    pred_x0_final = predict_xstart_from_eps(x, eps_cond, tables, step)
+
+    if sampler.mode == "plms":
+        eps_prime = plms_eps(eps_cond, eps_hist, hist_count, sampler.order)
+        x_next = plms_step(x, eps_prime, tables, step)
+        eps_hist = push_history(eps_cond, eps_hist)
+        hist_count = hist_count + 1
+    else:
+        noise = jax.random.normal(k_noise, x.shape, x.dtype)
+        x_next = ddim_step(
+            x, eps_cond, pred_x0_final, tables, step, sampler.eta, noise
+        )
+    return (x_next, eps_hist, hist_count), pred_x0_final
 
 
 def guided_sample(
@@ -463,7 +511,8 @@ def _frame_table(n_steps, num_frames):
     table = np.full(n_steps, -1, dtype=np.int32)
     for slot, pos in enumerate(frame_at):
         table[pos] = slot
-    return jnp.asarray(table), len(frame_at)
+    # numpy on purpose: exec_chunk closes over it across independent traces
+    return table, len(frame_at)
 
 
 def _make_chunk_exec(step_fn, frame_table, progress_callback, progress_every):
@@ -476,7 +525,7 @@ def _make_chunk_exec(step_fn, frame_table, progress_callback, progress_every):
             inner, frames = carry
             step, pos = step_and_pos
             inner, pred_x0 = step_fn(params, inner, step, base_key)
-            slot = frame_table[pos]
+            slot = jnp.asarray(frame_table)[pos]
             frames = jax.lax.cond(
                 slot >= 0,
                 lambda f: jax.lax.dynamic_update_index_in_dim(

@@ -42,10 +42,15 @@ def tiny_config(**overrides) -> Config:
 
 
 def build_tiny_pipeline(steps: int = 5, mode: str = "ddim",
-                        num_perceptors: int = 1):
+                        num_perceptors: int = 1,
+                        prompt_texts=None):
     """Returns (pipe, sample_fn) where sample_fn(pipe, key, batch) -> final
     images — the canonical single entry used by sharding tests and
-    dryrun_multichip."""
+    dryrun_multichip.
+
+    `prompt_texts`: list of per-image prompt strings -> heterogeneous-prompt
+    mode: text_embeddings get a leading prompt axis (B, 1, D) as in
+    zoo.build_pipeline's batched form (pod serving)."""
     cfg = tiny_config()
     ucfg = UNetConfig.tiny(64)
     unet = UNetModel(ucfg)
@@ -63,11 +68,17 @@ def build_tiny_pipeline(steps: int = 5, mode: str = "ddim",
     for i in range(num_perceptors):
         ccfg = tiny_clip_config(name=f"tiny{i}")
         clip = CLIPModel(ccfg)
-        toks = jnp.asarray(tokenize(["a test prompt"]))
+        texts = list(prompt_texts) if prompt_texts else ["a test prompt"]
+        toks = jnp.asarray(tokenize(texts))
         cparams = clip.init(
-            jax.random.PRNGKey(i + 1), jnp.ones((1, 32, 32, 3)), toks
+            jax.random.PRNGKey(i + 1), jnp.ones((1, 32, 32, 3)), toks[:1]
         )
         text_emb = clip.apply(cparams, toks, method=CLIPModel.encode_text)
+        if prompt_texts:  # heterogeneous: (B, P=1, D) + per-image weights
+            text_emb = text_emb[:, None, :]
+            text_w = jnp.ones((len(texts), 1))
+        else:
+            text_w = jnp.ones((1,))
         perceptors.append(
             Perceptor(
                 name=ccfg.name,
@@ -82,7 +93,7 @@ def build_tiny_pipeline(steps: int = 5, mode: str = "ddim",
                 "clip": cparams,
                 "aesthetic": (),
                 "text_embeddings": text_emb,
-                "text_weights": jnp.ones((1,)),
+                "text_weights": text_w,
             }
         )
 

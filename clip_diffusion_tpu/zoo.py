@@ -154,20 +154,46 @@ def build_pipeline(
     """Wire prompt embeddings + perceptors into (GuidedPipeline, params).
 
     `prompts`: (text, weight) pairs — the reference's "text:weight" syntax
-    parsed upstream (reference prompt.py:80-85, preprocessing.py:11-24).
+    parsed upstream (reference prompt.py:80-85, preprocessing.py:11-24) —
+    shared by every image in the batch; OR a list of such lists, one per
+    image (heterogeneous-prompt pod serving, BASELINE config 5): per-
+    perceptor text embeddings then carry a leading batch axis (B, Pmax, D)
+    with zero-weight padding terms.
 
     Returns the static pipeline plus the GuidedParams pytree that must be
     passed through jit as an ARGUMENT (see pipeline/guided.py docstring)."""
-    texts = [t for t, _ in prompts]
-    weights = jnp.asarray([w for _, w in prompts], jnp.float32)
-    if float(jnp.abs(weights).sum()) < 1e-3:
-        raise RuntimeError("The text_weights must not sum to 0.")
+    batched = bool(prompts) and not isinstance(prompts[0][0], str)
+    if batched:
+        pmax = max(len(p) for p in prompts)
+        texts = [t for p in prompts for t, _ in p]
+        weights = np.zeros((len(prompts), pmax), np.float32)
+        for i, p in enumerate(prompts):
+            weights[i, : len(p)] = [w for _, w in p]
+            if abs(weights[i]).sum() < 1e-3:
+                raise RuntimeError("The text_weights must not sum to 0.")
+        weights = jnp.asarray(weights)
+        offsets = np.cumsum([0] + [len(p) for p in prompts])
+    else:
+        texts = [t for t, _ in prompts]
+        weights = jnp.asarray([w for _, w in prompts], jnp.float32)
+        if float(jnp.abs(weights).sum()) < 1e-3:
+            raise RuntimeError("The text_weights must not sum to 0.")
     toks = jnp.asarray(tokenize(texts))
 
     perceptors = []
     perceptor_params = []
     for name, (model, params) in models.clips.items():
         text_emb = model.apply(params, toks, method=CLIPModel.encode_text)
+        if batched:
+            # (sum P_i, D) -> padded (B, Pmax, D); pad rows are zero vectors
+            # with zero weight (they contribute nothing to the loss)
+            emb = np.zeros((len(prompts), pmax, text_emb.shape[-1]),
+                           np.float32)
+            for i in range(len(prompts)):
+                emb[i, : offsets[i + 1] - offsets[i]] = np.asarray(
+                    text_emb[offsets[i] : offsets[i + 1]], np.float32
+                )
+            text_emb = jnp.asarray(emb)
         aes_fn = None
         aes_params = ()
         if name in models.aesthetic:

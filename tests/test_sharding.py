@@ -67,3 +67,88 @@ def test_serve_guided_batch():
     assert final.shape[0] == 8
     assert len(final.sharding.device_set) == 8
     assert np.isfinite(np.asarray(final)).all()
+
+
+def test_serve_heterogeneous_prompts_matches_single_device():
+    """BASELINE config 5: distinct prompts x seeds as one sharded batch.
+    The 8-device mesh result must match the single-device run bitwise
+    (placement invariance), with each row conditioned on its own prompt."""
+    from clip_diffusion_tpu.parallel.serving import serve_guided_batch
+    from clip_diffusion_tpu.tests_support import build_tiny_pipeline
+
+    prompts = [f"prompt variant {i}" for i in range(4)]
+    pipe, params, _ = build_tiny_pipeline(steps=3, prompt_texts=prompts)
+    assert params["perceptors"][0]["text_embeddings"].shape[0] == 4
+
+    final1, _ = serve_guided_batch(
+        pipe, params, prompts_count=4, seeds_per_prompt=2, mesh=make_mesh(1)
+    )
+    final8, _ = serve_guided_batch(
+        pipe, params, prompts_count=4, seeds_per_prompt=2, mesh=make_mesh(8)
+    )
+    assert final8.shape[0] == 8
+    assert len(final8.sharding.device_set) == 8
+    np.testing.assert_allclose(
+        np.asarray(final1), np.asarray(final8), atol=1e-5
+    )
+    # heterogeneity is live: different prompts' rows diverge
+    assert float(jnp.abs(final8[0] - final8[2]).max()) > 1e-4
+
+
+def test_heterogeneous_rows_follow_their_prompt():
+    """Row i is guided by prompt i: changing only prompt 1's text changes
+    only row 1 (identical RNG and weights otherwise)."""
+    from clip_diffusion_tpu.parallel.serving import serve_guided_batch
+    from clip_diffusion_tpu.tests_support import build_tiny_pipeline
+
+    p0 = "a tranquil mountain lake"
+    pipe_a, params_a, _ = build_tiny_pipeline(steps=3, prompt_texts=[p0, p0])
+    pipe_b, params_b, _ = build_tiny_pipeline(
+        steps=3, prompt_texts=[p0, "a neon cyberpunk alley"]
+    )
+    mesh = make_mesh(1)
+    fa, _ = serve_guided_batch(pipe_a, params_a, 2, 1, mesh=mesh)
+    fb, _ = serve_guided_batch(pipe_b, params_b, 2, 1, mesh=mesh)
+    np.testing.assert_allclose(np.asarray(fa[0]), np.asarray(fb[0]), atol=1e-6)
+    assert float(jnp.abs(fa[1] - fb[1]).max()) > 1e-4
+
+
+def test_ensemble_parallel_matches_single_device():
+    """Perceptor-parallel guidance (one CLIP per device along an `ensemble`
+    axis, psum of guidance grads) must reproduce the single-device
+    non-shared-cutout step."""
+    import dataclasses
+
+    from clip_diffusion_tpu.diffusion.sampling import init_history
+    from clip_diffusion_tpu.parallel.ensemble import (
+        build_ensemble_guided_step,
+        ensemble_mesh,
+    )
+    from clip_diffusion_tpu.pipeline.guided import build_guided_step
+    from clip_diffusion_tpu.tests_support import build_tiny_pipeline
+
+    pipe, params, _ = build_tiny_pipeline(steps=5, num_perceptors=2)
+    pipe = dataclasses.replace(
+        pipe,
+        config=pipe.config.replace(share_cutouts_across_perceptors=False),
+    )
+    step_ref, _ = build_guided_step(pipe)
+    mesh = ensemble_mesh(2)
+    step_ens = build_ensemble_guided_step(pipe, mesh)
+
+    key = jax.random.PRNGKey(7)
+    x = jax.random.normal(jax.random.PRNGKey(8), (1, 64, 64, 3), jnp.float32)
+    carry = (x, init_history(x.shape), jnp.int32(0))
+    step = jnp.int32(4)
+
+    (x_ref, _, _), p_ref = jax.jit(
+        lambda p, c: step_ref(p, c, step, key)
+    )(params, carry)
+    (x_ens, _, _), p_ens = jax.jit(
+        lambda p, c: step_ens(p, c, step, key)
+    )(params, carry)
+
+    np.testing.assert_allclose(np.asarray(x_ens), np.asarray(x_ref),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(p_ens), np.asarray(p_ref),
+                               atol=1e-5)
