@@ -19,6 +19,7 @@ saturation, hue).  The induced distributions differ negligibly at strength
 from __future__ import annotations
 
 import dataclasses
+import functools
 
 import jax
 import jax.numpy as jnp
@@ -35,6 +36,12 @@ class AugmentConfig:
     translate: float = 0.05
     grayscale_p: float = 0.1
     jitter: float = 0.1  # brightness/contrast/saturation/hue strength
+    # affine implementation: "shear" = 3-shear decomposition whose 1-D
+    # bilinear resamples are per-row banded MATMULS (MXU; the 2-D bilinear
+    # gather and its scatter VJP measured 526 ms for the 64-cut batch —
+    # ~99% of the cutout cost — vs ~10 ms for the matmul shears);
+    # "gather" = direct 2-D bilinear sampling (torchvision-exact kernel)
+    affine_impl: str = "shear"
 
 
 def rgb_to_grayscale(img):
@@ -66,7 +73,68 @@ def _bilinear_sample(img, ys, xs):
     return top * (1 - wy)[..., None] + bot * wy[..., None]
 
 
-def _random_affine(img, key, degrees, translate):
+def _shear_weights(size: int, shifts, dtype):
+    """(rows, in, out) 2-tap triangle interpolation matrices for per-row
+    fractional shifts: W[r, i, o] = max(0, 1 - |i - (o + shifts[r])|).
+    Out-of-range source taps simply have zero weight == zero fill."""
+    xo = jnp.arange(size, dtype=jnp.float32)
+    d = xo[None, :, None] - (xo[None, None, :] + shifts[:, None, None])
+    return jnp.maximum(0.0, 1.0 - jnp.abs(d)).astype(dtype)
+
+
+def _shear_rows(img, shifts):
+    """out[y, x] = img[y, x + shifts[y]] (1-D bilinear, zero fill) as a
+    per-row banded matmul.  On TPU this rides the MXU at ~elementwise cost;
+    the "obvious" per-row dynamic-slice/gather forms serialize when shifts
+    are data-dependent per image (measured 430-530 ms vs ~10 ms for the
+    64-cut batch)."""
+    w = _shear_weights(img.shape[1], shifts, img.dtype)  # (Y, Xin, Xout)
+    return jnp.einsum("yic,yio->yoc", img, w,
+                      preferred_element_type=jnp.float32).astype(img.dtype)
+
+
+def _shear_cols(img, shifts):
+    """out[y, x] = img[y + shifts[x], x] — the column analog, contracted
+    directly (no transposes)."""
+    w = _shear_weights(img.shape[0], shifts, img.dtype)  # (X, Yin, Yout)
+    return jnp.einsum("ixc,xio->oxc", img, w,
+                      preferred_element_type=jnp.float32).astype(img.dtype)
+
+
+@functools.partial(jax.checkpoint, static_argnums=())
+def _affine_shear(img, theta, ty, tx):
+    """Rotation+translation resample via the classic 3-shear decomposition
+    (shearX -> shearY -> shearX), realizing the same source map as the
+    direct bilinear warp: src = [[cos,sin],[-sin,cos]] @ (p - c - t) + c.
+
+    Each shear is an exact 1-D bilinear resample, so the composition is
+    EXACT on locally-affine image content; it differs from one-step 2-D
+    bilinear only in high-frequency smoothing (distributionally equivalent
+    for a random augmentation).
+
+    `jax.checkpoint`: the (S,S,S) interpolation matrices are recomputed in
+    the backward pass instead of being held live across the downstream CLIP
+    forward+backward (3 x 1.4 GB for the 64-cut batch otherwise)."""
+    s = img.shape[0]
+    c = (s - 1) / 2.0
+    A = jnp.cos(theta)
+    B = jnp.sin(theta)
+    # [[1+ab, b],[a(2+ab), 1+ab]] = [[A, B],[-B, A]]  =>  b=B, a=(A-1)/B
+    alpha = jnp.where(jnp.abs(B) < 1e-8, 0.0, (A - 1.0) / jnp.where(
+        jnp.abs(B) < 1e-8, 1.0, B))
+    beta = B
+    # constants solving  L1 L2 e3 + L1 e2 + e1 = -R @ t  (u3 = 0)
+    u2 = -(A * ty + B * tx)
+    u1 = -(-B * ty + A * tx) - alpha * u2
+    yy = jnp.arange(s, dtype=jnp.float32) - c  # centered row/col coords
+
+    out = _shear_rows(img, alpha * yy + u1)  # x-shear (executes first)
+    out = _shear_cols(out, beta * yy + u2)  # y-shear
+    out = _shear_rows(out, alpha * yy)  # final x-shear
+    return out
+
+
+def _random_affine(img, key, degrees, translate, impl: str = "shear"):
     """torchvision RandomAffine semantics: rotate by U(-deg, deg) about the
     center, translate by U(-t, t) * size, bilinear, zero fill."""
     s = img.shape[0]
@@ -78,6 +146,9 @@ def _random_affine(img, key, degrees, translate):
     max_t = translate * s
     ty = jax.random.uniform(k2, (), minval=-max_t, maxval=max_t)
     tx = jax.random.uniform(k3, (), minval=-max_t, maxval=max_t)
+
+    if impl == "shear":
+        return _affine_shear(img, angle, ty, tx)
 
     c = (s - 1) / 2.0
     cos, sin = jnp.cos(angle), jnp.sin(angle)
@@ -138,7 +209,9 @@ def _augment_one(img, key, cfg: AugmentConfig):
     # 2. gaussian noise
     img = img + cfg.noise_std * jax.random.normal(keys[1], img.shape, img.dtype)
     # 3. random affine
-    img = _random_affine(img, keys[2], cfg.degrees, cfg.translate)
+    img = _random_affine(
+        img, keys[2], cfg.degrees, cfg.translate, cfg.affine_impl
+    )
     # 4. gaussian noise
     img = img + cfg.noise_std * jax.random.normal(keys[3], img.shape, img.dtype)
     # 5. random grayscale

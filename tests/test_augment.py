@@ -81,3 +81,67 @@ def test_flip_probability():
         if float(out[0, 0, 3, 0]) > 0.5:
             flipped += 1
     assert 60 < flipped < 140
+
+
+# ---------------- 3-shear affine (TPU-fast path) ----------------
+
+def _smooth_image(s=64):
+    ii = np.arange(s, dtype=np.float32)
+    ys, xs = np.meshgrid(ii, ii, indexing="ij")
+    img = 0.5 + 0.3 * np.sin(2 * np.pi * ys / s) * np.cos(2 * np.pi * xs / s)
+    return jnp.asarray(np.stack([img, img * 0.8, img * 0.6], -1))
+
+
+def test_shear_affine_matches_gather_on_smooth_content():
+    """The 3-shear decomposition realizes the same affine source map as the
+    direct bilinear warp; on smooth content they agree closely (kernel
+    differences only touch high frequencies)."""
+    from clip_diffusion_tpu.ops.augment import _random_affine
+
+    img = _smooth_image(64)
+    for seed in range(4):
+        key = jax.random.PRNGKey(seed)
+        a = np.asarray(_random_affine(img, key, 10.0, 0.05, impl="shear"))
+        b = np.asarray(_random_affine(img, key, 10.0, 0.05, impl="gather"))
+        interior = (slice(12, -12), slice(12, -12))
+        assert np.abs(a[interior] - b[interior]).max() < 0.02
+        assert np.abs(a[interior] - b[interior]).mean() < 0.003
+
+
+def test_shear_affine_exact_on_affine_ramp():
+    """1-D linear interpolation is exact on affine functions, so the shear
+    composition reproduces the exact warp of a linear ramp (interior)."""
+    from clip_diffusion_tpu.ops.augment import _random_affine
+
+    s = 64
+    ii = np.arange(s, dtype=np.float32)
+    ys, xs = np.meshgrid(ii, ii, indexing="ij")
+    ramp = jnp.asarray(
+        np.stack([0.2 + 0.01 * ys, 0.3 + 0.008 * xs,
+                  0.1 + 0.005 * (ys + xs)], -1)
+    )
+    key = jax.random.PRNGKey(3)
+    a = np.asarray(_random_affine(ramp, key, 10.0, 0.05, impl="shear"))
+    b = np.asarray(_random_affine(ramp, key, 10.0, 0.05, impl="gather"))
+    interior = (slice(14, -14), slice(14, -14))
+    np.testing.assert_allclose(a[interior], b[interior], atol=2e-5)
+
+
+def test_shear_affine_identity_at_zero():
+    from clip_diffusion_tpu.ops.augment import _affine_shear
+
+    img = _smooth_image(32)
+    out = _affine_shear(img, jnp.float32(0.0), jnp.float32(0.0),
+                        jnp.float32(0.0))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(img), atol=1e-6)
+
+
+def test_shear_affine_grads_finite():
+    from clip_diffusion_tpu.ops.augment import _random_affine
+
+    img = _smooth_image(32)
+    g = jax.grad(
+        lambda im: jnp.sum(_random_affine(im, jax.random.PRNGKey(0), 10.0,
+                                          0.05, impl="shear"))
+    )(img)
+    assert np.isfinite(np.asarray(g)).all()
