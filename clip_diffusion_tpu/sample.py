@@ -71,12 +71,19 @@ def guided_diffusion_sample(
     modifier_bank=None,
     uploader=None,
     output_dir: str = OUTPUT_PATH,
+    images_per_dispatch: Optional[int] = None,
 ):
     """CLIP-guided generation (reference sample.py:59-314).
 
     Returns {"images": [paths], "gif_urls": [urls], "seed": int}.
     `custom_model_params`: converted params for a finetuned UNet (the
-    reference's custom_model_path checkpoint selection, sample.py:64)."""
+    reference's custom_model_path checkpoint selection, sample.py:64).
+
+    `images_per_dispatch`: cap the on-device batch per trajectory; larger
+    `num_batches` run as sequential sub-batches with independent fold_in
+    keys (the reference generates serially, sample.py:278; one 512^2 image
+    already saturates a v5e chip's HBM, so real 512^2 multi-image requests
+    should pass 1)."""
     config = config or Config()
     uploader = uploader or LocalUploader(output_dir)
     batch_folder = os.path.join(output_dir, "guided")
@@ -136,23 +143,33 @@ def guided_diffusion_sample(
         store_task_state("current_step", int(pos) + 1)
         store_task_state("current_result", uploader.upload(path, minutes=10))
 
-    store_task_state("current_batch", 0)
     store_task_state("current_result", None)
-    final, frames = _run_guided(
-        pipe,
-        params,
-        key,
-        batch_size=num_batches,
-        init_image=init_arr,
-        progress_callback=progress_cb,
-        progress_every=5,
-    )
+    chunk = images_per_dispatch or num_batches
+    finals, frame_stacks = [], []
+    done = 0
+    sub = 0
+    while done < num_batches:
+        b = min(chunk, num_batches - done)
+        store_task_state("current_batch", sub)
+        final, frames = _run_guided(
+            pipe,
+            params,
+            key if sub == 0 else jax.random.fold_in(key, sub),
+            batch_size=b,
+            init_image=init_arr,
+            progress_callback=progress_cb,
+            progress_every=5,
+        )
+        finals.append(np.asarray(final))
+        frame_stacks.append(np.asarray(frames))
+        done += b
+        sub += 1
     jax.effects_barrier()
 
     image_paths = []
     gif_urls = []
-    final_np = (np.asarray(final) + 1) / 2
-    frames_np = (np.asarray(frames) + 1) / 2
+    final_np = (np.concatenate(finals, axis=0) + 1) / 2
+    frames_np = (np.concatenate(frame_stacks, axis=1) + 1) / 2
     for b in range(num_batches):
         img_path = os.path.join(batch_folder, f"guided_{b}.png")
         array_to_image(final_np[b]).save(img_path)

@@ -138,3 +138,42 @@ def test_guided_sample_api_end_to_end(tmp_path):
     gif = create_gif((np.asarray(frames)[:, 0] + 1) / 2,
                      str(tmp_path / "traj.gif"), 500)
     assert os.path.exists(gif)
+
+
+def test_guided_api_images_per_dispatch(monkeypatch, tmp_path):
+    """num_batches > images_per_dispatch runs sequential sub-batches with
+    distinct fold_in keys (512^2 HBM safety; reference generates serially,
+    sample.py:278)."""
+    import types
+
+    import jax
+    import jax.numpy as jnp
+
+    import clip_diffusion_tpu.sample as S
+
+    calls = []
+
+    def fake_run(pipe, params, key, batch_size, init_image=None,
+                 progress_callback=None, progress_every=5):
+        calls.append(
+            (batch_size, tuple(np.asarray(jax.random.key_data(key)).ravel()))
+        )
+        f = jnp.zeros((batch_size, 8, 8, 3), jnp.float32)
+        frames = jnp.zeros((3, batch_size, 8, 8, 3), jnp.float32)
+        return f, frames
+
+    fake_pipe = types.SimpleNamespace(
+        schedule=types.SimpleNamespace(num_steps=5)
+    )
+    monkeypatch.setattr(S, "_run_guided", fake_run)
+    monkeypatch.setattr(S, "build_models", lambda *a, **k: object())
+    monkeypatch.setattr(S, "build_pipeline", lambda *a, **k: (fake_pipe, {}))
+
+    res = S.guided_diffusion_sample(
+        prompt="a test", num_batches=5, images_per_dispatch=2, seed=7,
+        output_dir=str(tmp_path),
+    )
+    assert [c[0] for c in calls] == [2, 2, 1]
+    assert len({c[1] for c in calls}) == 3  # distinct per-chunk keys
+    assert len(res["images"]) == 5
+    assert all(os.path.exists(p) for p in res["images"])

@@ -1,0 +1,209 @@
+#!/usr/bin/env python
+"""Reproducible per-component breakdown of the 512^2 guided step on TPU.
+
+This is the measurement harness behind STATUS.md's perf table: each
+component (per-phase full step, UNet fwd / fwd+bwd, cutout engine,
+augmentation, dynamic thresholding, per-CLIP-tower embed) is timed as K
+chained iterations inside ONE dispatch (per-dispatch tunnel overhead
+amortizes; `block_until_ready` alone does not truly sync on remote-attached
+backends, so a host readback forces completion), min over repeats.
+
+    python tools/profile_step.py                 # full breakdown (slow:
+                                                 # many remote compiles)
+    python tools/profile_step.py --only phases   # one section
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--only", choices=("phases", "unet", "cutouts", "clip",
+                                      "sampler"), default=None)
+    p.add_argument("--k", type=int, default=4)
+    p.add_argument("--repeats", type=int, default=2)
+    p.add_argument("--clips", type=str,
+                   default="ViT-B/32,ViT-B/16,ViT-L/14,RN101")
+    args = p.parse_args()
+
+    import jax
+
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.path.join(os.path.dirname(__file__), "..", ".jax_cache"),
+    )
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    import jax.numpy as jnp
+
+    from clip_diffusion_tpu.config import Config
+    from clip_diffusion_tpu.diffusion.sampling import (
+        SamplerConfig,
+        init_history,
+    )
+    from clip_diffusion_tpu.guidance.cutouts import (
+        CutoutSpec,
+        make_cutouts_batch,
+    )
+    from clip_diffusion_tpu.guidance.losses import (
+        square_spherical_distance_loss,
+    )
+    from clip_diffusion_tpu.models.clip.model import clip_normalize
+    from clip_diffusion_tpu.ops.quantile import dynamic_threshold_fast
+    from clip_diffusion_tpu.pipeline.guided import build_guided_step
+    from clip_diffusion_tpu.zoo import build_models, build_pipeline
+
+    K = args.k
+    key = jax.random.PRNGKey(0)
+    x = jax.random.normal(key, (1, 512, 512, 3), jnp.float32)
+    result = {}
+
+    def timed(name, fn, *fargs):
+        t0 = time.time()
+        _ = float(jnp.sum(fn(*fargs)))
+        compile_s = time.time() - t0
+        best = 1e9
+        for _ in range(args.repeats):
+            t0 = time.time()
+            _ = float(jnp.sum(fn(*fargs)))
+            best = min(best, time.time() - t0)
+        result[name] = {"ms_per_iter": round(best / K * 1000, 1),
+                        "compile_s": round(compile_s, 1)}
+        print(name, result[name], flush=True)
+
+    def k_grad_loop(body):
+        @jax.jit
+        def run(c):
+            def step(cc, i):
+                g = jax.grad(body)(cc)
+                return cc + (1e-6 * g).astype(cc.dtype), None
+
+            cf, _ = jax.lax.scan(step, c, jnp.arange(K))
+            return cf
+
+        return run
+
+    want = lambda section: args.only in (None, section)
+
+    pipe = params = None
+    if want("phases") or want("unet"):
+        config = Config(width=512, height=512,
+                        chosen_clip_models=tuple(args.clips.split(",")))
+        sampler = SamplerConfig(mode="ddim", steps=250, eta=0.8)
+        print("building models...", flush=True)
+        models = build_models(config, image_size=512,
+                              param_dtype=jnp.bfloat16)
+        pipe, params = build_pipeline(
+            models, config, [("a beautiful landscape painting", 1.0)],
+            sampler,
+        )
+
+    if want("phases"):
+        for caps in [(14, 2), (12, 4), (4, 2), (0, 12)]:
+            step_fn, _ = build_guided_step(pipe, slot_caps=caps)
+            phase_step = {(14, 2): 249, (12, 4): 199, (4, 2): 120,
+                          (0, 12): 20}[caps]
+
+            @jax.jit
+            def run_phase(p, xx, step_fn=step_fn, phase_step=phase_step):
+                carry = (xx, init_history(xx.shape), jnp.int32(0))
+
+                def body(c, i):
+                    c, _ = step_fn(p, c, jnp.int32(phase_step), key)
+                    return c, None
+
+                (xf, _, _), _ = jax.lax.scan(body, carry, jnp.arange(K))
+                return xf
+
+            timed(f"step_phase_{caps[0]}ov_{caps[1]}in", run_phase,
+                  params, x)
+
+    if want("unet"):
+        unet_apply = pipe.unet_apply
+        t_b = jnp.full((1,), 500.0)
+
+        @jax.jit
+        def unet_fwd_k(p, xx):
+            def body(c, i):
+                out = unet_apply(p["unet"], c, t_b)
+                return c + 1e-6 * out[..., :3].astype(c.dtype), None
+
+            xf, _ = jax.lax.scan(body, xx, jnp.arange(K))
+            return xf
+
+        @jax.jit
+        def unet_fwdbwd_k(p, xx):
+            def loss(z):
+                return jnp.sum(
+                    unet_apply(p["unet"], z, t_b).astype(jnp.float32) ** 2
+                )
+
+            def body(c, i):
+                return c + 1e-6 * jax.grad(loss)(c), None
+
+            xf, _ = jax.lax.scan(body, xx, jnp.arange(K))
+            return xf
+
+        timed("unet_fwd", unet_fwd_k, params, x)
+        timed("unet_fwd_bwd", unet_fwdbwd_k, params, x)
+
+    if want("cutouts"):
+        spec = CutoutSpec(cut_size=224, max_overview=14, max_inner=2)
+
+        def cuts_loss(xx):
+            cuts, w = make_cutouts_batch(
+                xx.astype(jnp.bfloat16), key, jnp.int32(14), jnp.int32(2),
+                jnp.float32(5.0), jnp.float32(0.7), spec, repeats=4,
+            )
+            return jnp.sum(cuts.astype(jnp.float32))
+
+        timed("cutouts_64_fwd_bwd", k_grad_loop(cuts_loss), x)
+
+    if want("sampler"):
+        @jax.jit
+        def thr_k(c):
+            def body(cc, i):
+                return dynamic_threshold_fast(cc * 1.001, 0.995), None
+
+            cf, _ = jax.lax.scan(body, c, jnp.arange(K))
+            return cf
+
+        timed("threshold_histogram", thr_k, x)
+
+    if want("clip"):
+        if pipe is None:
+            config = Config(width=512, height=512,
+                            chosen_clip_models=tuple(args.clips.split(",")))
+            sampler = SamplerConfig(mode="ddim", steps=250, eta=0.8)
+            models = build_models(config, image_size=512,
+                                  param_dtype=jnp.bfloat16)
+            pipe, params = build_pipeline(
+                models, config,
+                [("a beautiful landscape painting", 1.0)], sampler,
+            )
+        cuts = jax.random.uniform(key, (64, 224, 224, 3), jnp.bfloat16)
+        for i, perc in enumerate(pipe.perceptors):
+            pp = params["perceptors"][i]
+
+            def embed_loss(c, pp=pp, perc=perc):
+                e = perc.embed_image(pp["clip"], clip_normalize(c))
+                d = square_spherical_distance_loss(
+                    e[:, None, :], pp["text_embeddings"][None, :, :]
+                )
+                return jnp.sum(d)
+
+            tag = perc.name.replace("/", "_")
+            timed(f"clip_{tag}_fwdbwd_64", k_grad_loop(embed_loss), cuts)
+
+    print("BREAKDOWN " + json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()
