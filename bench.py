@@ -173,6 +173,60 @@ def bench_trajectory(args, config, pipe, params):
     }
 
 
+def bench_latent(args):
+    """Latent-diffusion throughput: reference defaults (256^2, DDIM-50,
+    CFG 5, 3-image batch; reference sample.py:324-331) through the full
+    CFG loop + VQ decode on one chip."""
+    import jax
+    import jax.numpy as jnp
+
+    from clip_diffusion_tpu.pipeline.latent import (
+        decode_latents,
+        latent_sample,
+    )
+    from clip_diffusion_tpu.zoo import build_latent_models, build_latent_pipeline
+
+    batch = args.batch if args.batch > 1 else 3
+    models = build_latent_models(param_dtype=jnp.bfloat16)
+    pipe, params, text_encode = build_latent_pipeline(models)
+    ctx_c = text_encode(["a beautiful landscape painting"] * batch)
+    ctx_u = text_encode([""] * batch)
+
+    def run(seed):
+        z = latent_sample(
+            pipe, params, jax.random.PRNGKey(seed), ctx_c, ctx_u,
+            batch_size=batch, height=256, width=256, steps=50,
+            guidance_scale=5.0, eta=0.0, mode="ddim",
+        )
+        imgs = decode_latents(pipe, params["vq"], z)
+        return float(jnp.sum(imgs))  # forced host sync
+
+    t0 = time.time()
+    run(0)
+    compile_s = time.time() - t0
+    times = []
+    for r in range(args.repeats):
+        t0 = time.time()
+        run(r + 1)
+        times.append(time.time() - t0)
+    best = min(times)
+    images_per_min = batch * 60.0 / best
+    return {
+        "metric": "latent_256px_ddim50_cfg_images_per_min_per_chip",
+        "value": round(images_per_min, 2),
+        "unit": "images/min",
+        "vs_baseline": 0.0,  # reference publishes no latent numbers
+        "detail": {
+            "batch": batch,
+            "steps": 50,
+            "guidance_scale": 5.0,
+            "batch_seconds": round(best, 2),
+            "compile_s": round(compile_s, 1),
+            "device": str(jax.devices()[0]),
+        },
+    }
+
+
 def bench_smoke(args):
     import jax
 
@@ -198,6 +252,9 @@ def bench_smoke(args):
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--smoke", action="store_true")
+    p.add_argument("--latent", action="store_true",
+                   help="latent-diffusion pipeline throughput (256^2, "
+                        "DDIM-50, CFG 5)")
     p.add_argument("--quick", action="store_true",
                    help="K-step steady-state extrapolation (round-1 mode) "
                         "instead of full trajectories")
@@ -229,7 +286,7 @@ def main():
     if args.segmented is None:
         args.segmented = args.trajectory
     if args.repeats is None:
-        args.repeats = 1 if args.trajectory else 3
+        args.repeats = 1 if (args.trajectory or args.latent) else 3
 
     _enable_compile_cache()
     # the remote compile/execute service fails transiently (HTTP 500 /
@@ -237,7 +294,12 @@ def main():
     last_err = None
     for attempt in range(3):
         try:
-            result = bench_smoke(args) if args.smoke else bench_flagship(args)
+            if args.smoke:
+                result = bench_smoke(args)
+            elif args.latent:
+                result = bench_latent(args)
+            else:
+                result = bench_flagship(args)
             break
         except Exception as e:  # noqa: BLE001 — report whatever broke
             last_err = e
