@@ -79,10 +79,12 @@ def analyze_image(
     clip_embed_fns: Dict[str, callable],
     bank: AnalysisBank,
     top_k: int = 3,
+    resolution: int = 224,
 ) -> Dict[str, List[Tuple[float, str]]]:
     """CLIP image analysis: top-3 styles/media by inner product of the
     L2-normalized image embedding (reference anvil_utils.py:75-95; analysis
-    uses ViT-B/16 + ViT-L/14 only — pass just those embed fns)."""
+    uses ViT-B/16 + ViT-L/14 only — pass just those embed fns; both are
+    224-px towers, `resolution` overrides for test doubles)."""
     from clip_diffusion_tpu.guidance.losses import l2_normalize
     from clip_diffusion_tpu.models.clip.model import clip_normalize
     from clip_diffusion_tpu.ops.resize import resize_center_crop
@@ -92,7 +94,7 @@ def analyze_image(
     # resize-shorter-side + center-crop, matching the reference's
     # CLIP_PREPROCESS (reference functional.py:19-26) so embeddings agree
     # on non-square inputs
-    square = resize_center_crop(img, 224)
+    square = resize_center_crop(img, resolution)
     results: Dict[str, List[Tuple[float, str]]] = {"styles": [], "media": []}
     agg_styles = {}
     agg_media = {}
@@ -156,7 +158,8 @@ def load_analysis_bank(data_dir: str = None,
 
 
 def make_analyzer(models, bank: "AnalysisBank" = None,
-                  model_names: Sequence[str] = ("ViT-B/16", "ViT-L/14")):
+                  model_names: Sequence[str] = ("ViT-B/16", "ViT-L/14"),
+                  resolution: int = None):
     """Default `analyze_image` closure for runtime/server.py: the zoo's CLIP
     towers (analysis uses ViT-B/16 + ViT-L/14, reference anvil_utils.py:
     28-33,75-95) + the shipped style/media banks.  Returns None if neither
@@ -171,6 +174,8 @@ def make_analyzer(models, bank: "AnalysisBank" = None,
         if name not in models.clips:
             continue
         model, params = models.clips[name]
+        if resolution is None:
+            resolution = getattr(model.cfg, "image_resolution", 224)
         embed_fns[name] = (
             lambda im, m=model, p=params: jax.jit(
                 lambda pp, ii: m.apply(pp, ii, method=CLIPModel.encode_image)
@@ -179,7 +184,7 @@ def make_analyzer(models, bank: "AnalysisBank" = None,
     if not embed_fns:
         return None
     return lambda image01, top_k=3: analyze_image(
-        image01, embed_fns, bank, top_k
+        image01, embed_fns, bank, top_k, resolution or 224
     )
 
 

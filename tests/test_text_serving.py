@@ -215,3 +215,50 @@ def test_shipped_analysis_bank_returns_real_names():
     assert len(out["styles"]) == 3 and len(out["media"]) == 3
     assert all(name in bank.style_names for _, name in out["styles"])
     assert all(name in bank.media_names for _, name in out["media"])
+
+
+def test_make_analyzer_default_wiring(tmp_path):
+    """make_analyzer builds a working analyze closure from zoo-style models
+    + a bank (the runtime server's default analysis path)."""
+    import types
+
+    import jax
+    import jax.numpy as jnp
+
+    from clip_diffusion_tpu.models.clip import CLIPModel, tiny_clip_config
+    from clip_diffusion_tpu.parallel.serving import make_analyzer
+
+    ccfg = tiny_clip_config()
+    clip = CLIPModel(ccfg)
+    params = clip.init(
+        jax.random.PRNGKey(0),
+        jnp.ones((1, ccfg.image_resolution, ccfg.image_resolution, 3)),
+        jnp.ones((1, 77), jnp.int32),
+    )
+    models = types.SimpleNamespace(clips={"ViT-B/16": (clip, params)})
+
+    rng = np.random.default_rng(0)
+    bank = AnalysisBank(
+        styles={"ViT-B/16": rng.standard_normal((7, ccfg.embed_dim))
+                .astype(np.float32)},
+        media={"ViT-B/16": rng.standard_normal((5, ccfg.embed_dim))
+               .astype(np.float32)},
+        style_names=[f"style{i}" for i in range(7)],
+        media_names=[f"medium{i}" for i in range(5)],
+    )
+    analyzer = make_analyzer(models, bank=bank)
+    assert analyzer is not None
+    img = rng.uniform(0, 1, (40, 64, 3)).astype(np.float32)
+    out = analyzer(img)
+    assert len(out["styles"]) == 3 and len(out["media"]) == 3
+    assert all(n in bank.style_names for _, n in out["styles"])
+
+    # no bank and no default assets -> None (graceful gate)
+    import clip_diffusion_tpu.text.prompt as prompt_mod
+
+    old = prompt_mod.DATA_ROOT
+    prompt_mod.DATA_ROOT = str(tmp_path / "nope")
+    try:
+        assert make_analyzer(models) is None
+    finally:
+        prompt_mod.DATA_ROOT = old
