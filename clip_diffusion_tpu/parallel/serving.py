@@ -35,21 +35,47 @@ def change_settings(config: Config, **kwargs) -> Config:
     return config.replace(**kwargs)
 
 
-def get_random_prompt(fetcher=None) -> str:
-    """The reference scrapes artprompts.org (reference anvil_utils.py:58-65)
-    — network-gated here; a local prompt bank serves zero-egress deploys."""
-    if fetcher is not None:
-        return fetcher()
-    bank = [
+# artprompts.org category pages per UI prompt type (reference
+# anvil_utils.py:14-18: 生物=creature, 景觀=environment, 物件=object)
+PROMPT_TYPES = {
+    "生物": "creature-prompts/",
+    "景觀": "environment-prompts/",
+    "物件": "object-prompt/",
+}
+
+# zero-egress stand-in banks, one per reference prompt type
+_LOCAL_PROMPTS = {
+    "生物": [
+        "A luminous deep-sea creature with trailing fins.",
+        "A moss-covered forest spirit with antlers.",
+        "A clockwork dragon curled around a tower.",
+    ],
+    "景觀": [
         "A lighthouse on a cliff at golden hour, oil painting.",
-        "A cyberpunk street market in the rain, neon reflections.",
         "An ancient forest with rays of light, matte painting.",
         "A steampunk airship above snowy mountains.",
-        "A cozy cabin interior, warm light, watercolor.",
-    ]
+    ],
+    "物件": [
+        "An ornate brass astrolabe on velvet.",
+        "A crystal lantern glowing with blue fire.",
+        "A weathered leather journal with golden clasps.",
+    ],
+}
+
+
+def get_random_prompt(prompt_type: str = "景觀", fetcher=None) -> str:
+    """Random prompt for a UI category (reference anvil_utils.py:58-65
+    scrapes `artprompts.org/<category>`; the scrape is network-gated here —
+    `fetcher(category_path)` injects it, a local per-category bank serves
+    zero-egress deploys)."""
+    path = PROMPT_TYPES.get(prompt_type, PROMPT_TYPES["景觀"])
+    if fetcher is not None:
+        return fetcher(path)
     import random
 
-    return random.choice(bank)
+    return random.choice(
+        _LOCAL_PROMPTS.get(prompt_type, _LOCAL_PROMPTS["景觀"])
+    )
 
 
 def get_chosen_image(choice: int, output_dir: str = "output_images") -> bytes:

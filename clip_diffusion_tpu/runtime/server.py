@@ -102,7 +102,10 @@ class ClipDiffusionServer:
                     state["result"] = server.worker.result
                     self._json(200, state)
                 elif url.path == "/random_prompt":
-                    self._json(200, {"prompt": serving.get_random_prompt()})
+                    ptype = parse_qs(url.query).get("type", ["景觀"])[0]
+                    self._json(
+                        200, {"prompt": serving.get_random_prompt(ptype)}
+                    )
                 elif url.path == "/chosen_image":
                     choice = int(parse_qs(url.query).get("choice", ["0"])[0])
                     try:

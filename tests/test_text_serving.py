@@ -116,6 +116,13 @@ def test_change_settings_immutable():
 def test_get_random_prompt_local_bank():
     p = get_random_prompt()
     assert isinstance(p, str) and len(p) > 10
+    # per-category banks + fetcher receives the reference's category path
+    # (reference anvil_utils.py:14-18,58-65)
+    for ptype, path in (("生物", "creature-prompts/"),
+                        ("景觀", "environment-prompts/"),
+                        ("物件", "object-prompt/")):
+        assert isinstance(get_random_prompt(ptype), str)
+        assert get_random_prompt(ptype, fetcher=lambda c: c) == path
 
 
 def test_analyze_image():
