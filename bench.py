@@ -173,6 +173,97 @@ def bench_trajectory(args, config, pipe, params):
     }
 
 
+def bench_config(args):
+    """Run one of BASELINE.md's reference configs end to end (real
+    trajectories, one JSON line).  Config 5 (pod serving) is validated by
+    dryrun_multichip — a single chip can't run an 8-chip mesh."""
+    import jax
+    import jax.numpy as jnp
+
+    from clip_diffusion_tpu.config import Config
+    from clip_diffusion_tpu.diffusion.sampling import SamplerConfig
+    from clip_diffusion_tpu.pipeline.guided import guided_sample
+    from clip_diffusion_tpu.zoo import build_models, build_pipeline
+
+    n = args.config
+    if n == 1:  # 256^2 guided, ViT-B/32, DDIM-50
+        config = Config(width=256, height=256,
+                        chosen_clip_models=("ViT-B/32",))
+        sampler = SamplerConfig(mode="ddim", steps=50, eta=0.8,
+                                phase_segmented=True)
+        image_size, skip, with_aes, init = 256, 0, False, False
+    elif n == 2:  # 512^2 Disco cutouts + TV/range losses
+        config = Config(width=512, height=512, range_scale=150.0)
+        sampler = SamplerConfig(mode="ddim", steps=250, eta=0.8,
+                                phase_segmented=True)
+        image_size, skip, with_aes, init = 512, 0, False, False
+    elif n == 3:  # multi-CLIP ensemble weighted spherical
+        config = Config(width=512, height=512,
+                        chosen_clip_models=("ViT-B/32", "ViT-B/16", "RN50"))
+        sampler = SamplerConfig(mode="ddim", steps=250, eta=0.8,
+                                phase_segmented=True)
+        image_size, skip, with_aes, init = 512, 0, False, False
+    elif n == 4:  # init image -> 512^2 guided refinement + aesthetic loss
+        config = Config(width=512, height=512, aesthetic_scale=0.5)
+        sampler = SamplerConfig(mode="ddim", steps=250, eta=0.8,
+                                skip_timesteps=125, phase_segmented=True)
+        image_size, skip, with_aes, init = 512, 125, True, True
+    else:
+        raise SystemExit("config must be 1..4 (5 = dryrun_multichip)")
+
+    models = build_models(config, image_size=image_size,
+                          param_dtype=jnp.bfloat16, with_aesthetic=with_aes,
+                          with_lpips=init)
+    prompts = [("a beautiful landscape painting", 1.0),
+               ("detailed, 4k", 0.5)] if n == 3 else \
+        [("a beautiful landscape painting", 1.0)]
+    pipe, params = build_pipeline(models, config, prompts, sampler,
+                                  use_init_losses=init)
+    init_arr = None
+    if init:
+        # stand-in for a decoded latent-diffusion output (identical FLOPs)
+        init_arr = jax.random.uniform(
+            jax.random.PRNGKey(9), (1, config.height, config.width, 3),
+            jnp.float32, -1.0, 1.0,
+        )
+
+    def run(seed):
+        final, _ = guided_sample(
+            pipe, params, jax.random.PRNGKey(seed), batch_size=1,
+            init_image=init_arr, max_steps_per_dispatch=args.chunk,
+        )
+        return float(final.sum())
+
+    t0 = time.time()
+    run(0)
+    compile_s = time.time() - t0
+    times = []
+    for r in range(args.repeats):
+        t0 = time.time()
+        run(r + 1)
+        times.append(time.time() - t0)
+    best = min(times)
+    exec_steps = sampler.steps - skip
+    return {
+        "metric": f"baseline_config_{n}_images_per_min_per_chip",
+        "value": round(60.0 / best, 4),
+        "unit": "images/min",
+        "vs_baseline": 0.0,
+        "detail": {
+            "trajectory_s": round(best, 1),
+            "per_step_ms": round(best / exec_steps * 1000, 1),
+            "executed_steps": exec_steps,
+            "canvas": f"{config.width}x{config.height}",
+            "clip_models": list(config.chosen_clip_models),
+            "init_image": init,
+            "aesthetic_scale": config.aesthetic_scale,
+            "range_scale": config.range_scale,
+            "compile_s": round(compile_s, 1),
+            "device": str(jax.devices()[0]),
+        },
+    }
+
+
 def bench_latent(args):
     """Latent-diffusion throughput: reference defaults (256^2, DDIM-50,
     CFG 5, 3-image batch; reference sample.py:324-331) through the full
@@ -252,6 +343,8 @@ def bench_smoke(args):
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--smoke", action="store_true")
+    p.add_argument("--config", type=int, default=None,
+                   help="run BASELINE.md reference config N (1..4)")
     p.add_argument("--latent", action="store_true",
                    help="latent-diffusion pipeline throughput (256^2, "
                         "DDIM-50, CFG 5)")
@@ -286,7 +379,9 @@ def main():
     if args.segmented is None:
         args.segmented = args.trajectory
     if args.repeats is None:
-        args.repeats = 1 if (args.trajectory or args.latent) else 3
+        args.repeats = (
+            1 if (args.trajectory or args.latent or args.config) else 3
+        )
 
     _enable_compile_cache()
     # the remote compile/execute service fails transiently (HTTP 500 /
@@ -298,6 +393,8 @@ def main():
                 result = bench_smoke(args)
             elif args.latent:
                 result = bench_latent(args)
+            elif args.config is not None:
+                result = bench_config(args)
             else:
                 result = bench_flagship(args)
             break
