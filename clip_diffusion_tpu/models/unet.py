@@ -50,6 +50,11 @@ class UNetConfig:
     dropout: float = 0.0
     dtype: jnp.dtype = jnp.bfloat16
     remat: bool = True
+    # rematerialization policy for the VJP through the UNet:
+    # "full" recomputes everything (minimum HBM); "dots" saves matmul/conv
+    # results (jax.checkpoint_policies.dots_with_no_batch_dims_saveable —
+    # less recompute, more activation memory)
+    remat_policy: str = "full"
 
     @staticmethod
     def for_image_size(image_size: int, **kw) -> "UNetConfig":
@@ -253,8 +258,16 @@ class UNetModel(nn.Module):
             nn.silu(emb)
         )
 
-        res_block = nn.remat(ResBlock) if cfg.remat else ResBlock
-        attn_block = nn.remat(AttentionBlock) if cfg.remat else AttentionBlock
+        if cfg.remat:
+            policy = (
+                jax.checkpoint_policies.dots_with_no_batch_dims_saveable
+                if cfg.remat_policy == "dots" else None
+            )
+            res_block = nn.remat(ResBlock, policy=policy)
+            attn_block = nn.remat(AttentionBlock, policy=policy)
+        else:
+            res_block = ResBlock
+            attn_block = AttentionBlock
 
         x = x.astype(cfg.dtype)
         h = nn.Conv(
