@@ -145,3 +145,13 @@ def test_shear_affine_grads_finite():
                                           0.05, impl="shear"))
     )(img)
     assert np.isfinite(np.asarray(g)).all()
+
+
+def test_shear_cols_equals_transposed_shear_rows():
+    from clip_diffusion_tpu.ops.augment import _shear_cols, _shear_rows
+
+    img = _smooth_image(32)
+    shifts = jnp.linspace(-3.0, 3.0, 32)
+    a = _shear_cols(img, shifts)
+    b = jnp.swapaxes(_shear_rows(jnp.swapaxes(img, 0, 1), shifts), 0, 1)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)

@@ -52,3 +52,22 @@ def test_pallas_quantile_interpret_matches():
                                                       block=8192))
     exact = np.asarray(jnp.quantile(jnp.abs(x), 0.995, axis=1))
     np.testing.assert_allclose(approx, exact, atol=4 * 2 / 2048 + 2e-3)
+
+
+def test_quantile_edge_cases():
+    from clip_diffusion_tpu.ops.quantile import histogram_abs_quantile
+
+    # constant rows: every quantile equals the constant
+    x = jnp.full((2, 1000), 0.7)
+    np.testing.assert_allclose(
+        np.asarray(histogram_abs_quantile(x, 0.5)), 0.7, atol=1e-3
+    )
+    # all-zero row must not NaN
+    z = jnp.zeros((1, 512))
+    assert np.isfinite(np.asarray(histogram_abs_quantile(z, 0.995))).all()
+    # q=1.0 approaches the max
+    rng = np.random.default_rng(0)
+    v = jnp.asarray(rng.standard_normal((1, 4096)), jnp.float32)
+    hi = float(jnp.abs(v).max())
+    got = float(histogram_abs_quantile(v, 1.0)[0])
+    assert abs(got - hi) < hi * 0.01 + 1e-3
