@@ -277,7 +277,7 @@ def bench_latent(args):
     )
     from clip_diffusion_tpu.zoo import build_latent_models, build_latent_pipeline
 
-    batch = args.batch if args.batch > 1 else 3
+    batch = args.batch
     models = build_latent_models(param_dtype=jnp.bfloat16)
     pipe, params, text_encode = build_latent_pipeline(models)
     ctx_c = text_encode(["a beautiful landscape painting"] * batch)
@@ -363,7 +363,8 @@ def main():
     p.add_argument("--no-segmented", dest="segmented", action="store_false")
     p.add_argument("--trajectory", action="store_true", default=None,
                    help="time the full trajectory (default unless --quick)")
-    p.add_argument("--batch", type=int, default=1)
+    p.add_argument("--batch", type=int, default=None,
+                   help="on-device batch (default: 1; 3 for --latent)")
     p.add_argument("--width", type=int, default=512)
     p.add_argument("--height", type=int, default=512)
     p.add_argument("--cutout-batches", type=int, default=4)
@@ -378,6 +379,8 @@ def main():
         args.trajectory = not args.quick
     if args.segmented is None:
         args.segmented = args.trajectory
+    if args.batch is None:
+        args.batch = 3 if args.latent else 1
     if args.repeats is None:
         args.repeats = (
             1 if (args.trajectory or args.latent or args.config) else 3

@@ -229,6 +229,8 @@ def greedy_decode(
     `suppress_pad` mirrors the opus generation config's bad_words_ids
     [[pad]] — the pad logit is floored so argmax can't emit it."""
     c = model.cfg
+    # the decode buffer is max_len+1 tokens; the sinusoid table caps it
+    max_len = min(max_len, c.max_positions - 1)
     b = src_ids.shape[0]
 
     enc_out = model.apply(params, src_ids, method=MarianMT.encode)
@@ -309,10 +311,14 @@ def marian_tokenize(
                     "stand-in."
                 )
                 marian_tokenize._warned = True
-            ids = [
-                (hash(tok) % (cfg.vocab_size - 2)) + 1
-                for tok in text.lower().split()
-            ]
+            # stable rolling hash (NOT builtin hash(): that is salted per
+            # process, same pattern as the CLIP/T5 fallbacks)
+            ids = []
+            for tok in text.lower().split():
+                h = 0
+                for ch in tok.encode("utf-8"):
+                    h = (h * 131 + ch) % (cfg.vocab_size - 2)
+                ids.append(h + 1)
         ids = ids[: max_len - 1] + [cfg.eos_token_id]
         out[i, : len(ids)] = ids
     return out

@@ -162,6 +162,34 @@ class SentenceT5(nn.Module):
         return (proj / norm).astype(jnp.float32)
 
 
+def load_or_init_sentence_t5(param_dtype=jnp.float32, seed: int = 0):
+    """(SentenceT5, params): converted sentence-t5-base weights from
+    $T5_PARAMS_PATH (default data/t5/params, written by
+    tools/fetch_and_convert.py --t5) when provisioned, else a deterministic
+    random init (seeded — fine for wiring tests, meaningless for retrieval
+    quality).  The single constructor both the prompt front end and
+    tools/build_banks.py use, so query and bank embeddings always share one
+    tower."""
+    import jax
+
+    model = SentenceT5(T5Config())
+    path = os.environ.get("T5_PARAMS_PATH", "data/t5/params")
+    if os.path.isdir(path):
+        from clip_diffusion_tpu.utils.checkpoint import load_params
+
+        return model, load_params(path)
+
+    from clip_diffusion_tpu.zoo import _host_init
+
+    params = _host_init(
+        lambda: model.init(
+            jax.random.PRNGKey(seed), jnp.ones((1, 64), jnp.int32)
+        ),
+        param_dtype=param_dtype, seed=seed,
+    )
+    return model, params
+
+
 # --------------------------------------------------------------------------
 # tokenizer (SentencePiece when available; hash fallback)
 # --------------------------------------------------------------------------

@@ -70,7 +70,10 @@ def get_random_prompt(prompt_type: str = "景觀", fetcher=None) -> str:
     zero-egress deploys)."""
     path = PROMPT_TYPES.get(prompt_type, PROMPT_TYPES["景觀"])
     if fetcher is not None:
-        return fetcher(path)
+        try:
+            return fetcher(path)
+        except TypeError:
+            return fetcher()  # round-1 contract: zero-arg scrape hook
     import random
 
     return random.choice(
@@ -184,29 +187,41 @@ def load_analysis_bank(data_dir: str = None,
 
 
 def make_analyzer(models, bank: "AnalysisBank" = None,
-                  model_names: Sequence[str] = ("ViT-B/16", "ViT-L/14"),
-                  resolution: int = None):
+                  model_names: Sequence[str] = ("ViT-B/16", "ViT-L/14")):
     """Default `analyze_image` closure for runtime/server.py: the zoo's CLIP
     towers (analysis uses ViT-B/16 + ViT-L/14, reference anvil_utils.py:
     28-33,75-95) + the shipped style/media banks.  Returns None if neither
-    a bank nor the default data assets exist."""
+    a bank nor the default data assets exist.
+
+    The jitted embed functions are constructed ONCE here — on this remote-
+    compile backend a per-request `jax.jit(<fresh lambda>)` would retrace
+    and recompile both towers on every analysis call."""
     from clip_diffusion_tpu.models.clip.model import CLIPModel
 
     bank = bank or load_analysis_bank()
     if bank is None:
         return None
     embed_fns = {}
+    resolution = None
     for name in model_names:
         if name not in models.clips:
             continue
         model, params = models.clips[name]
+        res = getattr(getattr(model, "cfg", None), "image_resolution", 224)
         if resolution is None:
-            resolution = getattr(model.cfg, "image_resolution", 224)
-        embed_fns[name] = (
-            lambda im, m=model, p=params: jax.jit(
-                lambda pp, ii: m.apply(pp, ii, method=CLIPModel.encode_image)
-            )(p, im)
+            resolution = res
+        elif res != resolution:
+            # analyze_image preprocesses ONE square for all towers
+            raise ValueError(
+                f"analysis towers disagree on input resolution "
+                f"({resolution} vs {res} for {name}); pass same-size towers"
+            )
+        jfn = jax.jit(
+            lambda p, im, m=model: m.apply(
+                p, im, method=CLIPModel.encode_image
+            )
         )
+        embed_fns[name] = lambda im, f=jfn, p=params: f(p, im)
     if not embed_fns:
         return None
     return lambda image01, top_k=3: analyze_image(

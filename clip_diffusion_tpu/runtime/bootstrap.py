@@ -13,7 +13,6 @@ HTTP server, and serve.
 from __future__ import annotations
 
 import argparse
-import os
 
 from clip_diffusion_tpu.config import Config
 
@@ -43,42 +42,19 @@ def build_service(config: Config | None = None, with_latent: bool = False,
     latent_fn = sample_mod.latent_diffusion_sample
     if with_latent:
         lmodels = build_latent_models(tiny=tiny)
-        lpipe, text_encode = build_latent_pipeline(lmodels)
+        lpipe, lparams, text_encode = build_latent_pipeline(lmodels)
         latent_fn = functools.partial(
             sample_mod.latent_diffusion_sample, pipe=lpipe,
-            text_encode=text_encode,
+            latent_params=lparams, text_encode=text_encode,
         )
 
     analyzer = None
-    data_dir = os.environ.get("CLIP_DIFFUSION_DATA", "data/banks")
     if models is not None:
-        from clip_diffusion_tpu.parallel.serving import (
-            analyze_image,
-            load_analysis_bank,
-        )
+        # banks load from $CLIP_DIFFUSION_DATA/banks (the var names the
+        # data ROOT everywhere: csv/ + banks/ + marian/ live under it)
+        from clip_diffusion_tpu.parallel.serving import make_analyzer
 
-        bank = load_analysis_bank(data_dir)
-        if bank is not None:
-            import jax
-
-            from clip_diffusion_tpu.models.clip.model import CLIPModel
-
-            embed_fns = {}
-            # analysis uses ViT-B/16 + ViT-L/14 (reference
-            # anvil_utils.py:75-95)
-            for name in ("ViT-B/16", "ViT-L/14"):
-                if name in models.clips:
-                    mod, prms = models.clips[name]
-                    jfn = jax.jit(
-                        lambda p, im, m=mod: m.apply(
-                            p, im, method=CLIPModel.encode_image
-                        )
-                    )
-                    embed_fns[name] = lambda im, f=jfn, p=prms: f(p, im)
-            if embed_fns:
-                analyzer = functools.partial(
-                    analyze_image, clip_embed_fns=embed_fns, bank=bank
-                )
+        analyzer = make_analyzer(models)
     return ClipDiffusionServer(
         port=port, config=config, guided_fn=guided_fn, latent_fn=latent_fn,
         analyzer=analyzer,

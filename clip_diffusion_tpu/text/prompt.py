@@ -76,19 +76,18 @@ def read_modifier_keywords(csv_path: str) -> List[str]:
 
 def _default_t5_encoder():
     """Sentence-T5 query encoder matching tools/build_banks.py's bank tower
-    (same deterministic init seed, so query and bank embeddings live in the
-    same space; converted real checkpoints replace both in deployment)."""
+    (one shared constructor: converted $T5_PARAMS_PATH weights when
+    provisioned, else the same deterministic init — query and bank
+    embeddings always live in the same space)."""
     import jax
     import jax.numpy as jnp
 
-    from clip_diffusion_tpu.models.t5 import SentenceT5, T5Config, t5_tokenize
-    from clip_diffusion_tpu.zoo import _host_init
-
-    model = SentenceT5(T5Config())
-    params = _host_init(
-        lambda: model.init(jax.random.PRNGKey(0), jnp.ones((1, 64), jnp.int32)),
-        param_dtype=jnp.float32, seed=0,
+    from clip_diffusion_tpu.models.t5 import (
+        load_or_init_sentence_t5,
+        t5_tokenize,
     )
+
+    model, params = load_or_init_sentence_t5()
     apply = jax.jit(model.apply)
 
     def encode(text: str) -> np.ndarray:

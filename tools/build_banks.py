@@ -92,22 +92,20 @@ def build_clip_bank(keywords, kind, model_names, out_dir, seed=0):
 
 def build_modifier_bank(keywords, out_dir, seed=0):
     """Sentence-T5 embeddings of the modifier keywords (already unit-norm —
-    SentenceT5 L2-normalizes its pooled projection)."""
+    SentenceT5 L2-normalizes its pooled projection).  Uses the same
+    load-or-init constructor as the query encoder (text/prompt.py), so the
+    bank and queries always share one tower."""
     import jax
     import jax.numpy as jnp
     import numpy as np
 
-    from clip_diffusion_tpu.models.t5 import SentenceT5, T5Config, t5_tokenize
-    from clip_diffusion_tpu.zoo import _host_init
+    from clip_diffusion_tpu.models.t5 import (
+        load_or_init_sentence_t5,
+        t5_tokenize,
+    )
 
     write_names(out_dir, "modifiers", keywords)
-    model = SentenceT5(T5Config())
-    params = _host_init(
-        lambda: model.init(
-            jax.random.PRNGKey(seed), jnp.ones((1, 64), jnp.int32)
-        ),
-        param_dtype=jnp.float32, seed=seed,
-    )
+    model, params = load_or_init_sentence_t5(seed=seed)
     toks = jnp.asarray(t5_tokenize(keywords))
     emb = jax.jit(model.apply)(params, toks)
     out = os.path.join(out_dir, "modifiers_t5.npy")

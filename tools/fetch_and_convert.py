@@ -155,6 +155,23 @@ def convert_marian_ckpt():
     print(f"converted -> {out}")
 
 
+def convert_t5_ckpt():
+    """Fetch sentence-transformers/sentence-t5-base via transformers and
+    convert to the native Flax SentenceT5 under data/t5/params (the path
+    models/t5.load_or_init_sentence_t5 looks for)."""
+    from clip_diffusion_tpu.models.t5 import convert_sentence_t5
+    from clip_diffusion_tpu.utils.checkpoint import save_params
+
+    from sentence_transformers import SentenceTransformer
+
+    st = SentenceTransformer("sentence-transformers/sentence-t5-base")
+    sd = {k: v for k, v in st.state_dict().items()}
+    params = convert_sentence_t5(sd)
+    out = os.path.join("data", "t5", "params")
+    save_params(out, params)
+    print(f"converted -> {out}")
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--all", action="store_true")
@@ -164,6 +181,7 @@ def main():
     p.add_argument("--aesthetic", action="store_true")
     p.add_argument("--vocab", action="store_true")
     p.add_argument("--marian", action="store_true")
+    p.add_argument("--t5", action="store_true")
     p.add_argument("--clip", action="append", default=[])
     args = p.parse_args()
 
@@ -190,6 +208,8 @@ def main():
             _download(url, os.path.join(MODEL_DIR, fname))
     if args.all or args.marian:
         convert_marian_ckpt()
+    if args.all or args.t5:
+        convert_t5_ckpt()
     print("done")
 
 
