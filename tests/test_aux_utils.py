@@ -66,3 +66,56 @@ def test_super_resolution_folder(tmp_path):
 
     with Image.open(written[0]) as im:
         assert im.size == (32, 32)
+
+
+def test_task_state_contract():
+    """The Anvil task-state key/value contract (reference
+    functional.py:177-179; keys at sample.py:95,280-311)."""
+    from clip_diffusion_tpu.utils.progress import TaskState
+
+    st = TaskState()
+    for key, val in (("new_prompt", "p"), ("current_batch", 0),
+                     ("current_step", 5), ("current_result", "url"),
+                     ("current_iteration", 2)):
+        st.store(key, val)
+    snap = st.snapshot()
+    assert snap["current_step"] == 5 and snap["new_prompt"] == "p"
+    assert st.get("missing", "dflt") == "dflt"
+    # snapshot is a copy, not a live view
+    snap["current_step"] = 99
+    assert st.get("current_step") == 5
+
+
+def test_default_uploader_env_gating(tmp_path, monkeypatch):
+    """Cloud uploaders are opt-in via the reference's env vars and degrade
+    to local when the deps/creds are absent (the reference hard-requires
+    them at import, image_utils.py:16-22)."""
+    from clip_diffusion_tpu.utils.progress import (
+        LocalUploader,
+        default_uploader,
+    )
+
+    for var in ("FIREBASE_CREDENTIAL_PATH", "FIREBASE_STORAGE_URL",
+                "IMGUR_CLIENT_ID"):
+        monkeypatch.delenv(var, raising=False)
+    up = default_uploader(str(tmp_path))
+    assert isinstance(up, LocalUploader)
+    # creds set but firebase_admin/pyimgur unimportable -> graceful local
+    monkeypatch.setenv("FIREBASE_CREDENTIAL_PATH", "/nope.json")
+    monkeypatch.setenv("FIREBASE_STORAGE_URL", "gs://nope")
+    monkeypatch.setenv("IMGUR_CLIENT_ID", "nope")
+    assert isinstance(default_uploader(str(tmp_path)), LocalUploader)
+
+    src = tmp_path / "img.png"
+    array_to_image(np.zeros((2, 2, 3), np.float32)).save(str(src))
+    url = up.upload(str(src))
+    assert os.path.exists(url.replace("file://", ""))
+
+
+def test_step_timer():
+    from clip_diffusion_tpu.utils.progress import StepTimer
+
+    t = StepTimer()
+    t.tick(5)
+    assert t.steps == 5
+    assert t.per_step >= 0.0
