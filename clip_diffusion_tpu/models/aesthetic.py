@@ -40,6 +40,37 @@ class MLPAestheticPredictor(nn.Module):
 # CLIP embedding widths (reference models.py:33-37).
 CLIP_DIMS = {"ViT-B/32": 512, "ViT-B/16": 512, "ViT-L/14": 768}
 
+# torch Sequential index -> flax layer name for the MLP predictor
+# (reference models.py:205-214: Linear at 0,2,4,6,7 with Dropouts between)
+_MLP_LAYER_MAP = {"0": "fc0", "2": "fc1", "4": "fc2", "6": "fc3", "7": "fc4"}
+
+
+def convert_aesthetic(state_dict) -> dict:
+    """Aesthetic-predictor torch state dict -> flax params.
+
+    Handles both checkpoint families the reference loads with
+    `load_state_dict` (reference models.py:220-240): the simulacra linear
+    probes (`linear.weight/bias`, crowsonkb; some releases save the bare
+    nn.Linear as `weight`/`bias`) and the improved-aesthetic-predictor MLP
+    (`layers.{0,2,4,6,7}.weight/bias`)."""
+    from clip_diffusion_tpu.models.convert import _np, _set, linear_kernel
+
+    params: dict = {}
+    for key, val in state_dict.items():
+        parts = key.split(".")
+        leaf = parts[-1]
+        arr = linear_kernel(val) if leaf == "weight" else _np(val)
+        name = "kernel" if leaf == "weight" else "bias"
+        if key in ("weight", "bias"):  # bare nn.Linear checkpoint
+            _set(params, ("linear", name), arr)
+        elif parts[0] == "linear":
+            _set(params, ("linear", name), arr)
+        elif parts[0] == "layers" and parts[1] in _MLP_LAYER_MAP:
+            _set(params, (_MLP_LAYER_MAP[parts[1]], name), arr)
+        else:
+            raise KeyError(f"unmapped aesthetic key: {key}")
+    return {"params": params}
+
 
 def make_aesthetic_predictor(clip_model_name: str) -> nn.Module:
     """Pick the head architecture the reference pairs with each CLIP model

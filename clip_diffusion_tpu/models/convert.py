@@ -235,8 +235,13 @@ def load_torch_state_dict(path: str) -> Dict[str, np.ndarray]:
     import torch
 
     sd = torch.load(path, map_location="cpu", weights_only=True)
-    if isinstance(sd, dict) and "state_dict" in sd:
-        sd = sd["state_dict"]
+    if isinstance(sd, dict):
+        # common release wrappings: lightning ("state_dict"), basicsr
+        # ("params_ema"/"params")
+        for wrap in ("state_dict", "params_ema", "params"):
+            if wrap in sd and isinstance(sd[wrap], dict):
+                sd = sd[wrap]
+                break
     return {k: _np(v) for k, v in sd.items()}
 
 

@@ -51,11 +51,11 @@ class AEResnetBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        h = GroupNorm32(name="norm1")(x)
+        h = GroupNorm32(eps=1e-6, name="norm1")(x)
         h = nn.silu(h)
         h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype,
                     name="conv1")(h)
-        h = GroupNorm32(name="norm2")(h)
+        h = GroupNorm32(eps=1e-6, name="norm2")(h)
         h = nn.silu(h)
         h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype,
                     name="conv2")(h)
@@ -73,7 +73,7 @@ class AEAttnBlock(nn.Module):
     @nn.compact
     def __call__(self, x):
         b, h, w, c = x.shape
-        y = GroupNorm32(name="norm")(x)
+        y = GroupNorm32(eps=1e-6, name="norm")(x)
         q = nn.Conv(c, (1, 1), dtype=self.dtype, name="q")(y).reshape(b, h * w, c)
         k = nn.Conv(c, (1, 1), dtype=self.dtype, name="k")(y).reshape(b, h * w, c)
         v = nn.Conv(c, (1, 1), dtype=self.dtype, name="v")(y).reshape(b, h * w, c)
@@ -112,7 +112,7 @@ class Encoder(nn.Module):
         h = AEResnetBlock(h.shape[-1], c.dtype, name="mid_block_1")(h)
         h = AEAttnBlock(c.dtype, name="mid_attn_1")(h)
         h = AEResnetBlock(h.shape[-1], c.dtype, name="mid_block_2")(h)
-        h = GroupNorm32(name="norm_out")(h)
+        h = GroupNorm32(eps=1e-6, name="norm_out")(h)
         h = nn.silu(h)
         return nn.Conv(c.z_channels, (3, 3), padding=1, dtype=c.dtype,
                        name="conv_out")(h)
@@ -145,7 +145,7 @@ class Decoder(nn.Module):
                 h = nn.Conv(cc, (3, 3), padding=1, dtype=c.dtype,
                             name=f"up_{level}_upsample")(h)
                 res *= 2
-        h = GroupNorm32(name="norm_out")(h)
+        h = GroupNorm32(eps=1e-6, name="norm_out")(h)
         h = nn.silu(h)
         return nn.Conv(c.out_ch, (3, 3), padding=1, dtype=c.dtype,
                        name="conv_out")(h)

@@ -32,34 +32,47 @@ CLS, SEP, PAD, UNK = 101, 102, 0, 100
 
 @dataclasses.dataclass(frozen=True)
 class BERTConfig:
+    """x-transformers TransformerWrapper(Encoder(dim=1280, depth=32))
+    hyperparameters, exactly as CompVis's BERTEmbedder constructs it:
+    heads and dim_head keep x-transformers' DEFAULTS (8 and 64), so the
+    attention inner width is 512 regardless of n_embed — the real
+    checkpoint's to_q is (1280, 512).  No padding mask: CompVis calls the
+    wrapper without one, so PAD tokens attend like any other (kept for
+    checkpoint-activation parity)."""
+
     n_embed: int = 1280
     n_layer: int = 32
-    n_heads: int = 8  # x-transformers default dim_head 64 -> 1280/64 = 20?
+    n_heads: int = 8
+    dim_head: int = 64
     vocab_size: int = BERT_VOCAB_SIZE
     max_seq_len: int = MAX_SEQ_LEN
     dtype: jnp.dtype = jnp.bfloat16
 
-    def __post_init__(self):
-        # x-transformers uses dim_head=64 by default -> heads = dim/64
-        object.__setattr__(self, "n_heads", max(self.n_embed // 64, 1))
-
     @staticmethod
     def tiny() -> "BERTConfig":
-        return BERTConfig(n_embed=64, n_layer=2, dtype=jnp.float32)
+        return BERTConfig(n_embed=64, n_layer=2, n_heads=2, dim_head=16,
+                          dtype=jnp.float32)
 
 
 class EncoderBlock(nn.Module):
+    """One (attention, feed-forward) pre-norm pair — x-transformers
+    AttentionLayers entries 2i (attn) and 2i+1 (ff).  qkv is fused into one
+    Dense (the converter concatenates to_q/to_k/to_v kernels); gelu is
+    exact (torch nn.GELU default), not tanh-approximated."""
+
     dim: int
     heads: int
+    dim_head: int
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, pad_mask):
-        d = self.dim // self.heads
+    def __call__(self, x):
+        d = self.dim_head
+        inner = self.heads * d
         ln = lambda name: nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32,
                                        name=name)
         y = ln("norm1")(x.astype(jnp.float32)).astype(x.dtype)
-        qkv = nn.Dense(3 * self.dim, use_bias=False, dtype=self.dtype,
+        qkv = nn.Dense(3 * inner, use_bias=False, dtype=self.dtype,
                        name="qkv")(y)
         q, k, v = jnp.split(qkv, 3, axis=-1)
         b, t, _ = q.shape
@@ -69,14 +82,13 @@ class EncoderBlock(nn.Module):
         logits = jnp.einsum(
             "bthd,bshd->bhts", q, k, preferred_element_type=jnp.float32
         ) / np.sqrt(d)
-        logits = jnp.where(pad_mask[:, None, None, :], logits, -1e9)
         attn = jax.nn.softmax(logits, axis=-1).astype(self.dtype)
-        out = jnp.einsum("bhts,bshd->bthd", attn, v).reshape(b, t, self.dim)
+        out = jnp.einsum("bhts,bshd->bthd", attn, v).reshape(b, t, inner)
         x = x + nn.Dense(self.dim, dtype=self.dtype, name="attn_out")(out)
 
         y = ln("norm2")(x.astype(jnp.float32)).astype(x.dtype)
         y = nn.Dense(self.dim * 4, dtype=self.dtype, name="ff_in")(y)
-        y = nn.gelu(y.astype(jnp.float32)).astype(y.dtype)
+        y = nn.gelu(y.astype(jnp.float32), approximate=False).astype(y.dtype)
         y = nn.Dense(self.dim, dtype=self.dtype, name="ff_out")(y)
         return x + y
 
@@ -87,7 +99,6 @@ class BERTEmbedder(nn.Module):
     @nn.compact
     def __call__(self, tokens):
         c = self.cfg
-        pad_mask = tokens != PAD
         x = nn.Embed(c.vocab_size, c.n_embed, dtype=c.dtype,
                      name="token_emb")(tokens)
         pos = self.param(
@@ -97,9 +108,8 @@ class BERTEmbedder(nn.Module):
         x = x + pos[None, : tokens.shape[1]].astype(x.dtype)
         block = nn.remat(EncoderBlock) if c.n_layer > 8 else EncoderBlock
         for i in range(c.n_layer):
-            x = block(c.n_embed, c.n_heads, c.dtype, name=f"layers_{i}")(
-                x, pad_mask
-            )
+            x = block(c.n_embed, c.n_heads, c.dim_head, c.dtype,
+                      name=f"layers_{i}")(x)
         x = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm")(
             x.astype(jnp.float32)
         )

@@ -95,7 +95,10 @@ class GEGLU(nn.Module):
     def __call__(self, x):
         h = nn.Dense(self.dim_out * 2, dtype=self.dtype, name="proj")(x)
         h, gate = jnp.split(h, 2, axis=-1)
-        return h * nn.gelu(gate.astype(jnp.float32)).astype(h.dtype)
+        # exact gelu: CompVis GEGLU uses torch F.gelu's erf form
+        return h * nn.gelu(
+            gate.astype(jnp.float32), approximate=False
+        ).astype(h.dtype)
 
 
 class BasicTransformerBlock(nn.Module):
@@ -133,7 +136,7 @@ class SpatialTransformer(nn.Module):
         b, h, w, c = x.shape
         dim_head = c // self.heads
         residual = x
-        y = GroupNorm32(name="norm")(x)
+        y = GroupNorm32(eps=1e-6, name="norm")(x)  # CompVis Normalize
         y = nn.Conv(c, (1, 1), dtype=self.dtype, name="proj_in")(y)
         y = y.reshape(b, h * w, c)
         for i in range(self.depth):

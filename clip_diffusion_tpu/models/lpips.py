@@ -110,3 +110,27 @@ def convert_lpips(state_dict) -> dict:
         w = state_dict[f"lin{i}.model.1.weight"]
         _set(params, (f"lin{i}", "kernel"), conv_kernel(w))
     return {"params": params}
+
+
+# torchvision VGG16 `features` indices of the 13 convs (pools at 4,9,16,23)
+_TORCHVISION_VGG16_CONV_IDX = (0, 2, 5, 7, 10, 12, 14, 17, 19, 21, 24, 26, 28)
+
+
+def convert_lpips_parts(vgg_state_dict, lin_state_dict) -> dict:
+    """Deploy-artifact variant of `convert_lpips`: the torchvision VGG16
+    backbone (`features.N.weight`, download.pytorch.org vgg16-397923af) plus
+    the lpips repo's standalone lin-head weights (`lin{i}.model.1.weight`,
+    weights/v0.1/vgg.pth) — the two files the lpips pip package itself
+    assembles at import (reference sample.py:52)."""
+    from clip_diffusion_tpu.models.convert import _np, _set, conv_kernel
+
+    params: dict = {}
+    for conv_id, idx in enumerate(_TORCHVISION_VGG16_CONV_IDX):
+        _set(params, ("vgg", f"conv{conv_id}", "kernel"),
+             conv_kernel(vgg_state_dict[f"features.{idx}.weight"]))
+        _set(params, ("vgg", f"conv{conv_id}", "bias"),
+             _np(vgg_state_dict[f"features.{idx}.bias"]))
+    for i in range(5):
+        _set(params, (f"lin{i}", "kernel"),
+             conv_kernel(lin_state_dict[f"lin{i}.model.1.weight"]))
+    return {"params": params}

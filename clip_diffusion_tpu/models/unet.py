@@ -100,15 +100,18 @@ def timestep_embedding(t, dim: int, max_period: float = 10000.0):
 
 class GroupNorm32(nn.Module):
     """GroupNorm(32) with float32 statistics regardless of compute dtype.
-    (Falls back to fewer groups only for sub-32-channel test configs.)"""
+    (Falls back to fewer groups only for sub-32-channel test configs.)
+    `eps` is 1e-5 for ADM/openaimodel norms; CompVis/taming `Normalize`
+    layers (spatial transformer + VQ autoencoder) use 1e-6."""
+
+    eps: float = 1e-5
 
     @nn.compact
     def __call__(self, x):
         orig = x.dtype
         groups = min(32, x.shape[-1])
-        x = nn.GroupNorm(num_groups=groups, epsilon=1e-5, dtype=jnp.float32)(
-            x.astype(jnp.float32)
-        )
+        x = nn.GroupNorm(num_groups=groups, epsilon=self.eps,
+                         dtype=jnp.float32)(x.astype(jnp.float32))
         return x.astype(orig)
 
 

@@ -20,6 +20,7 @@ jnp.quantile.
 from __future__ import annotations
 
 import functools
+import math
 
 import jax
 import jax.numpy as jnp
@@ -33,9 +34,11 @@ def histogram_abs_quantile(x, q, bins: int = 4096):
     edges inside the selected coarse bin): every pass is a broadcast
     compare + reduction — no scatter.  The scatter-based
     bincount/segment_sum formulation serializes on TPU the same way image
-    gathers do (~10 ms/step for a 512^2 image vs ~1 ms for this form);
-    error bound is unchanged (max|x| / bins)."""
-    lvl = max(int(bins**0.5), 2)
+    gathers do (~10 ms/step for a 512^2 image vs ~1 ms for this form).
+    `lvl = ceil(sqrt(bins))` so the effective resolution lvl^2 >= bins and
+    the error bound max|x| / lvl^2 <= max|x| / bins holds for every `bins`,
+    square or not."""
+    lvl = max(int(math.ceil(math.sqrt(bins))), 2)
     ax = jnp.abs(x.astype(jnp.float32))
     n = x.shape[1]
     target = q * n

@@ -94,7 +94,7 @@ def build_ensemble_guided_step(
             guidance, k_noise,
         )
 
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     # everything replicated along the ensemble axis; other mesh axes pass
     # through untouched (callers shard the batch axis upstream if desired)
@@ -104,7 +104,7 @@ def build_ensemble_guided_step(
         mesh=mesh,
         in_specs=(spec, spec, spec, spec, spec, spec),
         out_specs=((spec, spec, spec), spec),
-        check_rep=False,  # per-device RNG differs; outputs are psum-combined
+        check_vma=False,  # per-device RNG differs; outputs are psum-combined
     )
 
     def step_fn(params, carry, step, base_key):

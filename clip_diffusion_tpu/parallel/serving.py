@@ -70,10 +70,15 @@ def get_random_prompt(prompt_type: str = "景觀", fetcher=None) -> str:
     zero-egress deploys)."""
     path = PROMPT_TYPES.get(prompt_type, PROMPT_TYPES["景觀"])
     if fetcher is not None:
+        # decide arity from the signature — catching TypeError around the
+        # CALL would swallow bugs inside a legitimate one-arg fetcher
+        import inspect
+
         try:
-            return fetcher(path)
+            inspect.signature(fetcher).bind(path)
         except TypeError:
             return fetcher()  # round-1 contract: zero-arg scrape hook
+        return fetcher(path)
     import random
 
     return random.choice(

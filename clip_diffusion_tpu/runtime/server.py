@@ -69,12 +69,23 @@ class _Worker:
 
 class ClipDiffusionServer:
     def __init__(self, host="127.0.0.1", port=8080, config: Optional[Config] = None,
-                 guided_fn=None, latent_fn=None, analyzer=None):
+                 guided_fn=None, latent_fn=None, analyzer=None, models=None):
         from clip_diffusion_tpu import sample as sample_mod
 
         self.config = config or Config()
+        self.models = models
+        if guided_fn is None and models is not None:
+            import functools
+
+            guided_fn = functools.partial(
+                sample_mod.guided_diffusion_sample, models=models
+            )
         self.guided_fn = guided_fn or sample_mod.guided_diffusion_sample
         self.latent_fn = latent_fn or sample_mod.latent_diffusion_sample
+        if analyzer is None and models is not None:
+            from clip_diffusion_tpu.parallel.serving import make_analyzer
+
+            analyzer = make_analyzer(models)
         self.analyzer = analyzer
         self.worker = _Worker()
         server = self

@@ -12,6 +12,9 @@ benches and tests run in this zero-egress environment).
 from __future__ import annotations
 
 import dataclasses
+import os
+import warnings
+import zlib
 from typing import Dict, Optional, Sequence, Tuple
 
 import jax
@@ -78,20 +81,121 @@ def _host_init(init_fn, *args, param_dtype=jnp.bfloat16, seed: int = 0):
     return jax.device_put(tree)
 
 
-def build_lpips(param_dtype=jnp.float32, seed: int = 1000):
-    """(LPIPS module, params) — converted checkpoints overwrite the random
-    init via models/convert.convert_lpips + orbax."""
+# converted-checkpoint root (written by tools/fetch_and_convert.py); the
+# reference's analog is its models/ download cache (reference models.py:41-64)
+FLAX_ROOT_ENV = "CLIP_DIFFUSION_FLAX"
+DEFAULT_FLAX_ROOT = os.path.join("models", "flax")
+
+
+def checkpoint_dir(name: str, root: Optional[str] = None) -> Optional[str]:
+    """Path of a converted orbax checkpoint if provisioned, else None."""
+    root = root or os.environ.get(FLAX_ROOT_ENV, DEFAULT_FLAX_ROOT)
+    path = os.path.abspath(os.path.join(root, name))
+    return path if os.path.isdir(path) else None
+
+
+def load_or_init(name: str, init_fn, *args, param_dtype=jnp.bfloat16,
+                 seed: int = 0, root: Optional[str] = None):
+    """Load the converted checkpoint `models/flax/<name>` when present
+    (structure+shape validated against the model's init template), else
+    host-random-init — the single gate every zoo builder goes through, so
+    `fetch_and_convert.py` output is picked up everywhere (the reference's
+    load layer, models.py:41-64).  Parameters land on device ONCE either
+    way (see _host_init)."""
+    path = checkpoint_dir(name, root)
+    if path is not None:
+        try:
+            from clip_diffusion_tpu.models.convert import validate_against
+            from clip_diffusion_tpu.utils.checkpoint import load_params
+
+            loaded = load_params(path)
+            problems = validate_against(jax.eval_shape(init_fn, *args), loaded)
+            if problems:
+                warnings.warn(
+                    f"checkpoint {path} does not match the {name} template; "
+                    f"falling back to random init ({problems[:3]}...)"
+                )
+            else:
+                tree = jax.tree_util.tree_map(
+                    lambda x: np.asarray(x).astype(param_dtype)
+                    if np.issubdtype(np.asarray(x).dtype, np.floating)
+                    else np.asarray(x),
+                    loaded,
+                )
+                return jax.device_put(tree)
+        except Exception as e:  # noqa: BLE001 — any IO/format problem
+            warnings.warn(f"failed to load checkpoint {path}: {e!r}; "
+                          "falling back to random init")
+    return _host_init(init_fn, *args, param_dtype=param_dtype, seed=seed)
+
+
+def clip_checkpoint_name(model_name: str) -> str:
+    return f"clip_{model_name.replace('/', '_')}"
+
+
+def load_or_init_clip(model_name: str, param_dtype=jnp.bfloat16,
+                      seed: int = 0, root: Optional[str] = None):
+    """(CLIPModel, params) for one perceptor — converted OpenAI weights when
+    provisioned, else a deterministic init whose seed depends only on the
+    MODEL NAME (not the caller's loop position), so serving towers
+    (build_models) and bank towers (tools/build_banks.py) are always the
+    same tower and analyze_image / auto-modifier rankings stay consistent
+    even in unprovisioned test environments."""
+    ccfg = dataclasses.replace(CLIP_PRESETS[model_name], dtype=param_dtype)
+    model = CLIPModel(ccfg)
+    name_seed = seed + (zlib.crc32(model_name.encode()) % 100000)
+    params = load_or_init(
+        clip_checkpoint_name(model_name),
+        lambda: model.init(
+            jax.random.PRNGKey(name_seed),
+            jnp.ones((1, ccfg.image_resolution, ccfg.image_resolution, 3)),
+            jnp.ones((1, 77), jnp.int32),
+        ),
+        param_dtype=param_dtype, seed=name_seed, root=root,
+    )
+    return model, params
+
+
+def build_lpips(param_dtype=jnp.float32, seed: int = 1000,
+                checkpoint_root=None):
+    """(LPIPS module, params) — loads the converted `lpips_vgg` checkpoint
+    (models/lpips.convert_lpips[_parts] via fetch_and_convert --lpips) when
+    provisioned."""
     from clip_diffusion_tpu.models.lpips import LPIPS
 
     model = LPIPS(dtype=param_dtype)
-    params = _host_init(
+    params = load_or_init(
+        "lpips_vgg",
         lambda: model.init(
             jax.random.PRNGKey(seed),
             jnp.ones((1, 64, 64, 3)),
             jnp.ones((1, 64, 64, 3)),
         ),
-        param_dtype=param_dtype, seed=seed,
+        param_dtype=param_dtype, seed=seed, root=checkpoint_root,
     )
+    return model, params
+
+
+def build_esrgan(scale: int = 4, param_dtype=jnp.float32, seed: int = 2000,
+                 tiny: bool = False, checkpoint_root=None):
+    """(RRDBNet, params) — the Real-ESRGAN upsampler (reference
+    models.py:153-174), loading the converted `esrgan_x{scale}` checkpoint
+    when provisioned."""
+    from clip_diffusion_tpu.models.esrgan import RRDBNet
+
+    model = RRDBNet(scale=scale, dtype=param_dtype) if not tiny else RRDBNet(
+        scale=scale, num_feat=16, num_block=2, num_grow_ch=8,
+        dtype=param_dtype,
+    )
+    init_fn = lambda: model.init(
+        jax.random.PRNGKey(seed), jnp.ones((1, 32, 32, 3))
+    )
+    if tiny and checkpoint_root is None:
+        params = _host_init(init_fn, param_dtype=param_dtype, seed=seed)
+    else:
+        params = load_or_init(f"esrgan_x{scale}", init_fn,
+                              param_dtype=param_dtype, seed=seed,
+                              root=checkpoint_root)
     return model, params
 
 
@@ -102,18 +206,19 @@ def build_models(
     seed: int = 0,
     with_aesthetic: bool = False,
     with_lpips: bool = False,
+    checkpoint_root: Optional[str] = None,
 ) -> ZooModels:
-    """Random-init the flagship model set (checkpoint loading: convert.py).
-
-    Initialization happens host-side (see _host_init) — random weights only
-    exist in this zero-egress environment; production paths overwrite them
-    with converted checkpoints anyway, so init statistics don't matter."""
+    """Build the flagship model set, loading converted checkpoints from
+    models/flax/ when provisioned (see load_or_init) and falling back to
+    host-side random init (how benches/tests run in this zero-egress
+    environment — identical program/FLOPs either way)."""
     key = jax.random.PRNGKey(seed)
     ucfg = UNetConfig.for_image_size(image_size)
     unet = UNetModel(ucfg)
-    uparams = _host_init(
+    uparams = load_or_init(
+        f"guided_unet_{image_size}",
         lambda: unet.init(key, jnp.ones((1, 64, 64, 3)), jnp.zeros((1,))),
-        param_dtype=param_dtype, seed=seed,
+        param_dtype=param_dtype, seed=seed, root=checkpoint_root,
     )
 
     clips = {}
@@ -121,25 +226,23 @@ def build_models(
     for i, name in enumerate(config.chosen_clip_models):
         # compute dtype must match the param dtype: a mismatch makes XLA
         # upcast the full parameter set on every forward
-        ccfg = dataclasses.replace(CLIP_PRESETS[name], dtype=param_dtype)
-        model = CLIPModel(ccfg)
-        params = _host_init(
-            lambda m=model, c=ccfg, i=i: m.init(
-                jax.random.fold_in(key, i + 1),
-                jnp.ones((1, c.image_resolution, c.image_resolution, 3)),
-                jnp.ones((1, 77), jnp.int32),
-            ),
-            param_dtype=param_dtype, seed=seed + i + 1,
-        )
+        model, params = load_or_init_clip(name, param_dtype=param_dtype,
+                                          seed=seed, root=checkpoint_root)
         clips[name] = (model, params)
         if with_aesthetic and name in config.chosen_predictors and name in CLIP_DIMS:
             head = make_aesthetic_predictor(name)
-            hp = head.init(
-                jax.random.fold_in(key, 100 + i),
-                jnp.ones((1, CLIP_DIMS[name])),
+            hp = load_or_init(
+                f"aesthetic_{name.replace('/', '_')}",
+                lambda h=head, n=name: h.init(
+                    jax.random.fold_in(key, 100 + i),
+                    jnp.ones((1, CLIP_DIMS[n])),
+                ),
+                param_dtype=jnp.float32, seed=seed + 100 + i,
+                root=checkpoint_root,
             )
             aesthetic[name] = (head, hp)
-    lpips = build_lpips(seed=seed + 1000) if with_lpips else None
+    lpips = (build_lpips(seed=seed + 1000, checkpoint_root=checkpoint_root)
+             if with_lpips else None)
     return ZooModels(unet, uparams, clips, aesthetic, lpips)
 
 
@@ -255,9 +358,13 @@ class LatentModels:
 
 
 def build_latent_models(param_dtype=jnp.bfloat16, seed: int = 0,
-                        tiny: bool = False) -> LatentModels:
-    """Random-init the LDM txt2img-f8-large stack (converted checkpoints
-    overwrite via convert + orbax)."""
+                        tiny: bool = False,
+                        checkpoint_root=None) -> LatentModels:
+    """Build the LDM txt2img-f8-large stack, loading the converted
+    `ldm_{unet,vq,bert}` checkpoints (fetch_and_convert --ldm ->
+    models/ldm/convert.convert_ldm_checkpoint) when provisioned, else
+    host random init.  `tiny` skips the load gates (test-double shapes
+    never match real checkpoints)."""
     from clip_diffusion_tpu.models.ldm import (
         BERTConfig,
         BERTEmbedder,
@@ -274,30 +381,42 @@ def build_latent_models(param_dtype=jnp.bfloat16, seed: int = 0,
     if tiny:
         bcfg = dataclasses.replace(bcfg, n_embed=ucfg.context_dim)
 
+    def gate(name, init_fn, dtype, s):
+        # tiny test doubles skip the gate (their shapes never match real
+        # checkpoints) unless a root is passed explicitly (the deploy-path
+        # e2e test converts tiny-shaped checkpoints into its own root)
+        if tiny and checkpoint_root is None:
+            return _host_init(init_fn, param_dtype=dtype, seed=s)
+        return load_or_init(name, init_fn, param_dtype=dtype, seed=s,
+                            root=checkpoint_root)
+
     unet = LDMUNet(ucfg)
-    unet_params = _host_init(
+    unet_params = gate(
+        "ldm_unet",
         lambda: unet.init(
             jax.random.PRNGKey(seed),
             jnp.ones((1, 8, 8, ucfg.in_channels)),
             jnp.zeros((1,)),
             jnp.ones((1, 4, ucfg.context_dim)),
         ),
-        param_dtype=param_dtype, seed=seed,
+        param_dtype, seed,
     )
     vq = VQModel(vcfg)
-    vq_params = _host_init(
+    vq_params = gate(
+        "ldm_vq",
         lambda: vq.init(
             jax.random.PRNGKey(seed + 1),
             jnp.ones((1, vcfg.resolution, vcfg.resolution, 3)),
         ),
-        param_dtype=jnp.float32, seed=seed + 1,
+        jnp.float32, seed + 1,
     )
     bert = BERTEmbedder(bcfg)
-    bert_params = _host_init(
+    bert_params = gate(
+        "ldm_bert",
         lambda: bert.init(
             jax.random.PRNGKey(seed + 2), jnp.ones((1, 77), jnp.int32)
         ),
-        param_dtype=param_dtype, seed=seed + 2,
+        param_dtype, seed + 2,
     )
     return LatentModels(unet, unet_params, vq, vq_params, bert, bert_params)
 

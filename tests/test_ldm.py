@@ -146,8 +146,11 @@ def test_bert_embedder_shapes():
 
 
 def test_bert_flagship_heads():
+    # x-transformers defaults: 8 heads x 64 dim_head = 512 inner width,
+    # independent of n_embed (the real checkpoint's to_q is (1280, 512))
     cfg = BERTConfig()
-    assert cfg.n_heads == 20  # 1280 / 64
+    assert cfg.n_heads == 8
+    assert cfg.n_heads * cfg.dim_head == 512
 
 
 # ---------------- latent sampling ----------------

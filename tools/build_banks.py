@@ -54,31 +54,31 @@ def write_names(out_dir: str, kind: str, keywords):
 
 def build_clip_bank(keywords, kind, model_names, out_dir, seed=0):
     """Per-CLIP-model text embeddings of the keywords (normalized — the
-    reference banks are IP-metric over unit vectors).  Only the text towers
-    are initialized (method-scoped init): no UNet, no visual towers."""
-    import dataclasses
-
+    reference banks are IP-metric over unit vectors).  Towers come from
+    zoo.load_or_init_clip — the SAME constructor build_models uses for the
+    serving towers (converted checkpoints when provisioned, name-seeded
+    deterministic init otherwise), so bank and query embeddings always
+    agree."""
     import jax
     import jax.numpy as jnp
     import numpy as np
 
     from clip_diffusion_tpu.guidance.losses import l2_normalize
-    from clip_diffusion_tpu.models.clip import CLIP_PRESETS, CLIPModel
+    from clip_diffusion_tpu.models.clip import CLIPModel
     from clip_diffusion_tpu.models.clip.tokenizer import tokenize
-    from clip_diffusion_tpu.zoo import _host_init
+    from clip_diffusion_tpu.zoo import checkpoint_dir, clip_checkpoint_name, load_or_init_clip
 
     write_names(out_dir, kind, keywords)
     toks = jnp.asarray(tokenize(keywords))
-    for i, name in enumerate(model_names):
-        ccfg = dataclasses.replace(CLIP_PRESETS[name], dtype=jnp.float32)
-        model = CLIPModel(ccfg)
-        params = _host_init(
-            lambda m=model: m.init(
-                jax.random.PRNGKey(seed), toks[:1],
-                method=CLIPModel.encode_text,
-            ),
-            param_dtype=jnp.float32, seed=seed + i + 1,
-        )
+    for name in model_names:
+        if checkpoint_dir(clip_checkpoint_name(name)) is None:
+            print(f"WARNING: no converted checkpoint for {name} — bank "
+                  "embeddings come from a deterministic random tower "
+                  "(consistent with build_models' serving towers, but "
+                  "semantically meaningless; run fetch_and_convert.py first "
+                  "in a networked deployment)")
+        model, params = load_or_init_clip(name, param_dtype=jnp.float32,
+                                          seed=seed)
         emb = l2_normalize(
             jax.jit(lambda p, t, m=model: m.apply(
                 p, t, method=CLIPModel.encode_text

@@ -52,6 +52,22 @@ ARTIFACTS = {
         "https://huggingface.co/bert-base-uncased/resolve/main/vocab.txt",
         os.path.join("data", "bert-base-uncased-vocab.txt"),
     ),
+    "t5_spm": (
+        "https://huggingface.co/sentence-transformers/sentence-t5-base/"
+        "resolve/main/spiece.model",
+        os.path.join("data", "t5-spiece.model"),
+    ),
+    # the two files the lpips pip package assembles at import: torchvision's
+    # VGG16 backbone + the learned lin heads (reference sample.py:52)
+    "vgg16": (
+        "https://download.pytorch.org/models/vgg16-397923af.pth",
+        "vgg16-397923af.pth",
+    ),
+    "lpips_lin": (
+        "https://github.com/richzhang/PerceptualSimilarity/raw/master/"
+        "lpips/weights/v0.1/vgg.pth",
+        "lpips_vgg_v0.1.pth",
+    ),
 }
 
 AESTHETIC = {
@@ -115,14 +131,70 @@ def convert_unet_ckpt(path: str):
     print(f"converted -> {out}")
 
 
+def convert_ldm_ckpt(path: str):
+    """Split + convert the CompVis LatentDiffusion checkpoint into the three
+    orbax trees zoo.build_latent_models loads (ldm_unet / ldm_vq /
+    ldm_bert)."""
+    from clip_diffusion_tpu.models.convert import load_torch_state_dict
+    from clip_diffusion_tpu.models.ldm.convert import convert_ldm_checkpoint
+    from clip_diffusion_tpu.utils.checkpoint import save_params
+
+    trees = convert_ldm_checkpoint(load_torch_state_dict(path))
+    for sub, tree in trees.items():
+        out = os.path.join(FLAX_DIR, f"ldm_{sub}")
+        save_params(out, tree)
+        print(f"converted -> {out}")
+
+
+def convert_esrgan_ckpt(path: str, scale: int):
+    from clip_diffusion_tpu.models.convert import load_torch_state_dict
+    from clip_diffusion_tpu.models.esrgan import convert_rrdbnet
+    from clip_diffusion_tpu.utils.checkpoint import save_params
+
+    params = convert_rrdbnet(load_torch_state_dict(path))
+    out = os.path.join(FLAX_DIR, f"esrgan_x{scale}")
+    save_params(out, params)
+    print(f"converted -> {out}")
+
+
+def convert_aesthetic_ckpt(name: str, path: str):
+    from clip_diffusion_tpu.models.aesthetic import convert_aesthetic
+    from clip_diffusion_tpu.models.convert import load_torch_state_dict
+    from clip_diffusion_tpu.utils.checkpoint import save_params
+
+    params = convert_aesthetic(load_torch_state_dict(path))
+    out = os.path.join(FLAX_DIR, f"aesthetic_{name.replace('/', '_')}")
+    save_params(out, params)
+    print(f"converted -> {out}")
+
+
+def convert_lpips_ckpt(vgg_path: str, lin_path: str):
+    from clip_diffusion_tpu.models.convert import load_torch_state_dict
+    from clip_diffusion_tpu.models.lpips import convert_lpips_parts
+    from clip_diffusion_tpu.utils.checkpoint import save_params
+
+    params = convert_lpips_parts(
+        load_torch_state_dict(vgg_path), load_torch_state_dict(lin_path)
+    )
+    out = os.path.join(FLAX_DIR, "lpips_vgg")
+    save_params(out, params)
+    print(f"converted -> {out}")
+
+
 def convert_clip_ckpt(name: str, path: str):
     import torch
 
-    from clip_diffusion_tpu.models.convert import convert_clip
+    from clip_diffusion_tpu.models.convert import (
+        convert_clip,
+        load_torch_state_dict,
+    )
     from clip_diffusion_tpu.utils.checkpoint import save_params
 
-    model = torch.jit.load(path, map_location="cpu")
-    sd = {k: v for k, v in model.state_dict().items()}
+    try:  # OpenAI distributes CLIP as torch.jit archives
+        model = torch.jit.load(path, map_location="cpu")
+        sd = {k: v for k, v in model.state_dict().items()}
+    except RuntimeError:  # plain state-dict checkpoint
+        sd = load_torch_state_dict(path)
     params = convert_clip(sd)
     out = os.path.join(FLAX_DIR, f"clip_{name.replace('/', '_')}")
     save_params(out, params)
@@ -172,26 +244,31 @@ def convert_t5_ckpt():
     print(f"converted -> {out}")
 
 
-def main():
+def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--all", action="store_true")
     p.add_argument("--unet", action="store_true")
     p.add_argument("--ldm", action="store_true")
     p.add_argument("--esrgan", action="store_true")
     p.add_argument("--aesthetic", action="store_true")
+    p.add_argument("--lpips", action="store_true")
     p.add_argument("--vocab", action="store_true")
     p.add_argument("--marian", action="store_true")
     p.add_argument("--t5", action="store_true")
     p.add_argument("--clip", action="append", default=[])
-    args = p.parse_args()
+    args = p.parse_args(argv)
 
     os.makedirs(FLAX_DIR, exist_ok=True)
     if args.all or args.vocab:
         _download(*ARTIFACTS["bpe"])
         _download(*ARTIFACTS["bert_vocab"])
+        _download(*ARTIFACTS["t5_spm"])
     if args.all or args.unet:
         url, name = ARTIFACTS["unet"]
         convert_unet_ckpt(_download(url, os.path.join(MODEL_DIR, name)))
+    if args.all or args.ldm:
+        url, name = ARTIFACTS["ldm"]
+        convert_ldm_ckpt(_download(url, os.path.join(MODEL_DIR, name)))
     clips = list(CLIP_JIT) if args.all else args.clip
     for name in clips:
         path = _download(
@@ -200,12 +277,23 @@ def main():
         )
         convert_clip_ckpt(name, path)
     if args.all or args.esrgan:
-        for k in ("esrgan_x4", "esrgan_x2"):
+        for k, scale in (("esrgan_x4", 4), ("esrgan_x2", 2)):
             url, name = ARTIFACTS[k]
-            _download(url, os.path.join(MODEL_DIR, name))
+            convert_esrgan_ckpt(
+                _download(url, os.path.join(MODEL_DIR, name)), scale
+            )
     if args.all or args.aesthetic:
         for name, (url, fname) in AESTHETIC.items():
-            _download(url, os.path.join(MODEL_DIR, fname))
+            convert_aesthetic_ckpt(
+                name, _download(url, os.path.join(MODEL_DIR, fname))
+            )
+    if args.all or args.lpips:
+        vgg_url, vgg_name = ARTIFACTS["vgg16"]
+        lin_url, lin_name = ARTIFACTS["lpips_lin"]
+        convert_lpips_ckpt(
+            _download(vgg_url, os.path.join(MODEL_DIR, vgg_name)),
+            _download(lin_url, os.path.join(MODEL_DIR, lin_name)),
+        )
     if args.all or args.marian:
         convert_marian_ckpt()
     if args.all or args.t5:
