@@ -207,13 +207,19 @@ def build_models(
     with_aesthetic: bool = False,
     with_lpips: bool = False,
     checkpoint_root: Optional[str] = None,
+    unet_config: Optional[UNetConfig] = None,
 ) -> ZooModels:
     """Build the flagship model set, loading converted checkpoints from
     models/flax/ when provisioned (see load_or_init) and falling back to
     host-side random init (how benches/tests run in this zero-egress
-    environment — identical program/FLOPs either way)."""
+    environment — identical program/FLOPs either way).
+
+    `unet_config` overrides the ADM architecture while keeping the
+    `guided_unet_{image_size}` checkpoint slot — how custom finetuned UNets
+    with non-default shapes (reference sample.py:97-99 custom_model_path)
+    and the deploy-path e2e test load."""
     key = jax.random.PRNGKey(seed)
-    ucfg = UNetConfig.for_image_size(image_size)
+    ucfg = unet_config or UNetConfig.for_image_size(image_size)
     unet = UNetModel(ucfg)
     uparams = load_or_init(
         f"guided_unet_{image_size}",
