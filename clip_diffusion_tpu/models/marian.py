@@ -273,10 +273,16 @@ def _assets():
         try:
             import json
 
-            import sentencepiece as sp
+            try:
+                import sentencepiece as sp
 
-            proc = sp.SentencePieceProcessor()
-            proc.Load(spm_path)
+                proc = sp.SentencePieceProcessor()
+                proc.Load(spm_path)
+            except ImportError:
+                # native pure-Python unigram runtime (text/spm.py)
+                from clip_diffusion_tpu.text.spm import load_unigram
+
+                proc = load_unigram(spm_path)
             with open(vocab_path, encoding="utf-8") as f:
                 vocab = json.load(f)
             return proc, vocab

@@ -208,7 +208,11 @@ def _spm():
         proc.Load(path)
         return proc
     except ImportError:
-        return None
+        # native pure-Python unigram runtime (text/spm.py) — the asset is
+        # enough; the sentencepiece wheel is optional
+        from clip_diffusion_tpu.text.spm import load_unigram
+
+        return load_unigram(path)
 
 
 def t5_tokenize(texts: Sequence[str] | str, max_len: int = 64) -> np.ndarray:

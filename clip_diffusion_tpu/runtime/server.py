@@ -7,8 +7,11 @@ progress polled from background-task state.
 
 Here the same surface is a dependency-free stdlib HTTP JSON API:
 
-    POST /guided_sample     kwargs of sample.guided_diffusion_sample
+    POST /guided_sample     kwargs of sample.guided_diffusion_sample; an
+                            optional "model_type" picks a registered
+                            finetuned UNet (reference 通用/景觀/建築)
     POST /latent_sample     kwargs of sample.latent_diffusion_sample
+    GET  /model_types       registered model-type names
     GET  /task_state        the progress key/value contract
     GET  /seed              -> {"seed": "<uint32 as string>"}
     POST /change_settings   Config knobs -> applied to subsequent requests
@@ -69,7 +72,8 @@ class _Worker:
 
 class ClipDiffusionServer:
     def __init__(self, host="127.0.0.1", port=8080, config: Optional[Config] = None,
-                 guided_fn=None, latent_fn=None, analyzer=None, models=None):
+                 guided_fn=None, latent_fn=None, analyzer=None, models=None,
+                 registry=None):
         from clip_diffusion_tpu import sample as sample_mod
 
         self.config = config or Config()
@@ -87,6 +91,14 @@ class ClipDiffusionServer:
 
             analyzer = make_analyzer(models)
         self.analyzer = analyzer
+        if registry is None:
+            # per-request model selection (reference notebook cells 14-16:
+            # model_type 通用/景觀/建築 -> finetuned checkpoint); auto-
+            # discovers guided_unet_custom_<name> converted checkpoints
+            from clip_diffusion_tpu.runtime.registry import UNetRegistry
+
+            registry = UNetRegistry().discover()
+        self.registry = registry
         self.worker = _Worker()
         server = self
 
@@ -112,6 +124,8 @@ class ClipDiffusionServer:
                     state["error"] = server.worker.error
                     state["result"] = server.worker.result
                     self._json(200, state)
+                elif url.path == "/model_types":
+                    self._json(200, {"model_types": server.registry.names()})
                 elif url.path == "/random_prompt":
                     ptype = parse_qs(url.query).get("type", ["景觀"])[0]
                     self._json(
@@ -140,6 +154,18 @@ class ClipDiffusionServer:
                 url = urlparse(self.path)
                 if url.path == "/guided_sample":
                     kwargs = self._body()
+                    # model_type -> finetuned-UNet params via the registry
+                    # (the reference's per-request checkpoint selection,
+                    # notebook cells 14-16 -> sample.py:64,97-99)
+                    model_type = kwargs.pop("model_type", None)
+                    if model_type is not None:
+                        try:
+                            custom = server.registry.load(model_type)
+                        except KeyError as e:
+                            self._json(400, {"error": str(e)})
+                            return
+                        if custom is not None:
+                            kwargs["custom_model_params"] = custom
                     ok = server.worker.launch(
                         server.guided_fn,
                         {**kwargs, "config": server.config},

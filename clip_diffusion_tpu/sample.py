@@ -115,7 +115,11 @@ def guided_diffusion_sample(
 
         models.lpips = build_lpips()
     if custom_model_params is not None:
-        models.unet_params = custom_model_params
+        # shallow copy: mutating the caller's (often server-shared) zoo
+        # would leak the finetune into every subsequent default request
+        import dataclasses
+
+        models = dataclasses.replace(models, unet_params=custom_model_params)
 
     if not seed:
         seed = random_seed()
@@ -181,6 +185,23 @@ def guided_diffusion_sample(
     return {"images": image_paths, "gif_urls": gif_urls, "seed": int(seed)}
 
 
+# lazily-built default LDM stack (reference sample.py:347-353 caches the
+# loaded model in module globals); keyed so tests can clear it
+_LATENT_STACK_CACHE: dict = {}
+
+
+def _default_latent_stack():
+    if "stack" not in _LATENT_STACK_CACHE:
+        from clip_diffusion_tpu.zoo import (
+            build_latent_models,
+            build_latent_pipeline,
+        )
+
+        models = build_latent_models()
+        _LATENT_STACK_CACHE["stack"] = build_latent_pipeline(models)
+    return _LATENT_STACK_CACHE["stack"]
+
+
 def latent_diffusion_sample(
     prompt: str = "A cute golden retriever.",
     seed: Optional[int] = None,
@@ -204,14 +225,14 @@ def latent_diffusion_sample(
     """Latent-diffusion txt2img / img2img / inpaint + SR (reference
     sample.py:317-460).  Returns {"grid_url", "images", "seed"}.
 
-    `pipe` + `text_encode` must be supplied with converted LDM weights (or
-    test doubles); `upscaler(images01) -> images01` is the Real-ESRGAN hook
-    (models/esrgan.upscale partial)."""
+    When `pipe`/`latent_params`/`text_encode` are omitted the LDM stack is
+    built lazily ONCE and cached module-wide — converted checkpoints when
+    provisioned, random init otherwise — matching the reference's
+    first-call lazy load into module globals (reference sample.py:347-353).
+    `upscaler(images01) -> images01` is the Real-ESRGAN hook
+    (models/esrgan.upscale partial); injection kwargs remain for tests."""
     if pipe is None or text_encode is None or latent_params is None:
-        raise ValueError(
-            "latent_diffusion_sample needs a LatentPipeline, its params, "
-            "and a text_encode fn (see models/ldm + zoo.build_latent_pipeline)"
-        )
+        pipe, latent_params, text_encode = _default_latent_stack()
     uploader = uploader or LocalUploader(output_dir)
     batch_folder = os.path.join(output_dir, "latent")
     os.makedirs(batch_folder, exist_ok=True)

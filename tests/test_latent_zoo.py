@@ -67,3 +67,36 @@ def test_public_latent_api(tmp_path, latent_stack):
     from clip_diffusion_tpu.utils.progress import get_task_state
 
     assert get_task_state("current_iteration") == 2
+
+
+def test_latent_default_build_lazy(tmp_path, monkeypatch):
+    """Calling latent_diffusion_sample with NO pipe kwargs self-builds the
+    LDM stack lazily once and caches it (reference sample.py:347-353;
+    VERDICT r2 item 8).  The builder is monkeypatched to the tiny stack so
+    CI doesn't init 1.45B params."""
+    import clip_diffusion_tpu.sample as sample_mod
+    import clip_diffusion_tpu.zoo as zoo
+
+    builds = []
+    real_build = zoo.build_latent_models
+
+    def tiny_build(*a, **kw):
+        builds.append(1)
+        return real_build(tiny=True, param_dtype=jnp.float32)
+
+    monkeypatch.setattr(zoo, "build_latent_models", tiny_build)
+    monkeypatch.setattr(sample_mod, "_LATENT_STACK_CACHE", {})
+
+    out = sample_mod.latent_diffusion_sample(
+        prompt="a lazy test", seed=3, diffusion_steps=2, num_iterations=1,
+        num_batches=1, sample_width=32, sample_height=32,
+        output_dir=str(tmp_path),
+    )
+    assert len(out["images"]) == 1
+    # second call reuses the cached stack — no rebuild
+    sample_mod.latent_diffusion_sample(
+        prompt="again", seed=4, diffusion_steps=2, num_iterations=1,
+        num_batches=1, sample_width=32, sample_height=32,
+        output_dir=str(tmp_path),
+    )
+    assert builds == [1]

@@ -113,7 +113,7 @@ def build_modifier_bank(keywords, out_dir, seed=0):
     print(f"{out}: {emb.shape}")
 
 
-def main():
+def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--all", action="store_true",
                    help="build modifiers+styles+media from data/csv/")
@@ -126,7 +126,7 @@ def main():
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--cpu", action="store_true",
                    help="run on host CPU (leave the TPU free)")
-    args = p.parse_args()
+    args = p.parse_args(argv)
 
     if args.cpu:
         import jax

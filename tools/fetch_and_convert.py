@@ -256,6 +256,10 @@ def main(argv=None):
     p.add_argument("--marian", action="store_true")
     p.add_argument("--t5", action="store_true")
     p.add_argument("--clip", action="append", default=[])
+    p.add_argument("--banks", action="store_true",
+                   help="after converting, regenerate data/banks embedding "
+                        "banks with the (now-real) towers "
+                        "(tools/build_banks.py --all)")
     args = p.parse_args(argv)
 
     os.makedirs(FLAX_DIR, exist_ok=True)
@@ -298,6 +302,14 @@ def main(argv=None):
         convert_marian_ckpt()
     if args.all or args.t5:
         convert_t5_ckpt()
+    if args.all or args.banks:
+        # regenerate retrieval/analysis banks from the converted towers —
+        # the committed data/banks were built with random towers (honest
+        # placeholder, data/README.md) and MUST be rebuilt post-conversion
+        # for auto-modifiers / analyze_image to rank meaningfully
+        import tools.build_banks as bb
+
+        bb.main(["--all"])
     print("done")
 
 
