@@ -16,6 +16,7 @@ functional.py:97-102 with the constants at functional.py:16-18).
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Optional, Tuple
 
 import flax.linen as nn
@@ -99,6 +100,34 @@ class LayerNormF32(nn.Module):
         ).astype(orig)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
+def softmax_cast(logits, dtype):
+    """softmax in f32, output cast to `dtype`, with a VJP whose saved
+    residual is the CAST output (not the f32 one autodiff would keep).
+
+    For the guidance path this halves the dominant attention residual:
+    ViT-L/14 at 64 cuts stores (64,16,257,257) probabilities per layer x 24
+    layers for the backward — 6.5 GB as f32, 3.2 GB as bf16 — and the
+    backward formula d = (g - sum(g*y)) * y only needs y itself (matching
+    the fp16 attention the reference's CLIP checkpoints run under,
+    torch .half()).  Exact when dtype == float32."""
+    return jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(dtype)
+
+
+def _softmax_cast_fwd(logits, dtype):
+    y = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(dtype)
+    return y, y
+
+
+def _softmax_cast_bwd(dtype, y, g):
+    yf = y.astype(jnp.float32)
+    gf = g.astype(jnp.float32)
+    return ((gf - jnp.sum(gf * yf, axis=-1, keepdims=True)) * yf,)
+
+
+softmax_cast.defvjp(_softmax_cast_fwd, _softmax_cast_bwd)
+
+
 class MultiheadAttention(nn.Module):
     """torch.nn.MultiheadAttention layout: packed in_proj + out_proj."""
 
@@ -121,7 +150,7 @@ class MultiheadAttention(nn.Module):
         ) / np.sqrt(d)
         if mask is not None:
             logits = logits + mask
-        attn = jax.nn.softmax(logits, axis=-1).astype(self.dtype)
+        attn = softmax_cast(logits, self.dtype)
         out = jnp.einsum("bhts,bshd->bthd", attn, v).reshape(b, t, self.width)
         return nn.Dense(self.width, dtype=self.dtype, name="out_proj")(out)
 

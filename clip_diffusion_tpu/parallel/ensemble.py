@@ -70,8 +70,10 @@ def build_ensemble_guided_step(
         )
         for i in range(n_perc)
     ]
+    # jax.grad, not value_and_grad: the loss value is unused and dropping
+    # it DCEs its cross-batch reduction (see pipeline/guided.py)
     branch_grads = [
-        jax.value_and_grad(f, has_aux=True) for f in branch_losses
+        jax.grad(f, has_aux=True) for f in branch_losses
     ]
     sampler = pipe.sampler
 
@@ -81,7 +83,7 @@ def build_ensemble_guided_step(
         k_cut, k_noise = jax.random.split(key)
         idx = jax.lax.axis_index(axis)
 
-        (_, aux), grad = jax.lax.switch(
+        grad, aux = jax.lax.switch(
             idx, branch_grads, x, params, step, k_cut
         )
         _, _, pred_x0_raw = aux

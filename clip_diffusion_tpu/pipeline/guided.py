@@ -292,7 +292,12 @@ def build_guided_step(pipe: GuidedPipeline,
     loss_fn = make_guidance_loss(
         pipe, tables_np, pipe.config.cutout_schedules.as_arrays(), slot_caps
     )
-    grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+    # jax.grad, NOT value_and_grad: the loss VALUE is unused by the step,
+    # and dropping it lets XLA DCE the cross-device sum of per-image
+    # losses — the batch-sharded hot loop then carries ZERO collectives
+    # (the all-reduce also trips CPU-collective rendezvous timeouts on
+    # contended virtual-device dryruns)
+    grad_fn = jax.grad(loss_fn, has_aux=True)
     sampler = pipe.sampler
 
     def step_fn(params, carry, step, base_key):
@@ -301,7 +306,7 @@ def build_guided_step(pipe: GuidedPipeline,
         key = jax.random.fold_in(base_key, step)
         k_cut, k_noise = jax.random.split(key)
 
-        (loss, (eps, var_raw, pred_x0_raw)), grad = grad_fn(
+        grad, (eps, var_raw, pred_x0_raw) = grad_fn(
             x, params, step, k_cut
         )
         guidance = _clamp_guidance_grad(-grad, pipe.config.grad_threshold)

@@ -111,3 +111,73 @@ def build_tiny_pipeline(steps: int = 5, mode: str = "ddim",
         return final
 
     return pipe, params, sample_fn
+
+
+def build_flagship_dryrun_pipeline(canvas: int = 64, n_prompts: int = 8,
+                                   steps: int = 250):
+    """REAL flagship UNet program + heterogeneous prompts, dryrun-sized.
+
+    The UNet is the full 552M-parameter `UNetConfig.for_image_size(512)`
+    topology (reference models.py:95-116) — only the canvas shrinks (the
+    network is fully convolutional; 64^2 is the smallest canvas its 7-level
+    channel_mult supports).  Perceptors stay tiny so the dryrun exercises
+    the FLAGSHIP program structure (552M-param fwd + VJP, het-prompt
+    (B,P,D) spherical loss, cutouts, thresholding, conditioned DDIM) without
+    hours of virtual-device CLIP compute.  float32 params/compute: the
+    virtual-device dryrun backend is CPU (bf16 would be emulated)."""
+    import dataclasses as dc
+
+    from clip_diffusion_tpu.zoo import _host_init
+
+    cfg = tiny_config(width=canvas, height=canvas)
+    # remat off: the rematerialized VJP subgraphs triple XLA CPU's compile
+    # time on the virtual-device backend, and a 64^2 batch-32 dryrun has no
+    # memory pressure to justify them
+    ucfg = dc.replace(
+        UNetConfig.for_image_size(512), dtype=jnp.float32, remat=False
+    )
+    unet = UNetModel(ucfg)
+    uparams = _host_init(
+        lambda: unet.init(
+            jax.random.PRNGKey(0),
+            jnp.ones((1, canvas, canvas, 3)),
+            jnp.zeros((1,)),
+        ),
+        param_dtype=jnp.float32,
+    )
+
+    ccfg = tiny_clip_config(name="tiny-flagship")
+    clip = CLIPModel(ccfg)
+    texts = [f"flagship dryrun prompt {i}" for i in range(n_prompts)]
+    toks = jnp.asarray(tokenize(texts))
+    cparams = clip.init(
+        jax.random.PRNGKey(1), jnp.ones((1, 32, 32, 3)), toks[:1]
+    )
+    text_emb = clip.apply(cparams, toks, method=CLIPModel.encode_text)
+    perceptor = Perceptor(
+        name=ccfg.name,
+        embed_image=lambda p, im, c=clip: c.apply(
+            p, im, method=CLIPModel.encode_image
+        ),
+        input_resolution=32,
+    )
+    pipe = GuidedPipeline(
+        unet_apply=lambda p, x, t: unet.apply(p, x, t),
+        perceptors=(perceptor,),
+        config=cfg,
+        sampler=SamplerConfig(mode="ddim", steps=steps, eta=0.8),
+        schedule=make_schedule(steps=steps),
+    )
+    params = {
+        "unet": uparams,
+        "perceptors": [
+            {
+                "clip": cparams,
+                "aesthetic": (),
+                # heterogeneous prompts: (n_prompts, P=1, D) + weights
+                "text_embeddings": text_emb[:, None, :],
+                "text_weights": jnp.ones((n_prompts, 1)),
+            }
+        ],
+    }
+    return pipe, params
