@@ -100,34 +100,11 @@ class LayerNormF32(nn.Module):
         ).astype(orig)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
-def softmax_cast(logits, dtype):
-    """softmax in f32, output cast to `dtype`, with a VJP whose saved
-    residual is the CAST output (not the f32 one autodiff would keep).
-
-    For the guidance path this halves the dominant attention residual:
-    ViT-L/14 at 64 cuts stores (64,16,257,257) probabilities per layer x 24
-    layers for the backward — 6.5 GB as f32, 3.2 GB as bf16 — and the
-    backward formula d = (g - sum(g*y)) * y only needs y itself (matching
-    the fp16 attention the reference's CLIP checkpoints run under,
-    torch .half()).  Exact when dtype == float32."""
-    return jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(dtype)
-
-
-def _softmax_cast_fwd(logits, dtype):
-    y = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(dtype)
-    return y, y
-
-
-def _softmax_cast_bwd(dtype, y, g):
-    yf = y.astype(jnp.float32)
-    gf = g.astype(jnp.float32)
-    return ((gf - jnp.sum(gf * yf, axis=-1, keepdims=True)) * yf,)
-
-
-softmax_cast.defvjp(_softmax_cast_fwd, _softmax_cast_bwd)
-
-
+# NOTE (round-3 measurement): a custom-vjp softmax that saved the bf16-cast
+# output as its backward residual (halving the f32 attention-probability
+# residuals) was tried here and measured SLOWER on the chip — ViT-L/14
+# fwd+bwd over 64 cuts 302.5 -> 315.5 ms — because the opaque custom VJP
+# blocks XLA's fused softmax backward.  Keep the stock softmax.
 class MultiheadAttention(nn.Module):
     """torch.nn.MultiheadAttention layout: packed in_proj + out_proj."""
 
@@ -145,12 +122,14 @@ class MultiheadAttention(nn.Module):
         q = q.reshape(b, t, self.heads, d)
         k = k.reshape(b, t, self.heads, d)
         v = v.reshape(b, t, self.heads, d)
+        # f32 scale constant (d is a power of two in every CLIP config, so
+        # multiply-by-reciprocal is bit-identical to divide)
         logits = jnp.einsum(
             "bthd,bshd->bhts", q, k, preferred_element_type=jnp.float32
-        ) / np.sqrt(d)
+        ) * np.float32(1.0 / np.sqrt(d))
         if mask is not None:
             logits = logits + mask
-        attn = softmax_cast(logits, self.dtype)
+        attn = jax.nn.softmax(logits, axis=-1).astype(self.dtype)
         out = jnp.einsum("bhts,bshd->bthd", attn, v).reshape(b, t, self.width)
         return nn.Dense(self.width, dtype=self.dtype, name="out_proj")(out)
 
@@ -332,7 +311,7 @@ class AttentionPool2d(nn.Module):
         v = v.reshape(b, -1, self.heads, d)
         logits = jnp.einsum(
             "bthd,bshd->bhts", q, k, preferred_element_type=jnp.float32
-        ) / np.sqrt(d)
+        ) * np.float32(1.0 / np.sqrt(d))
         attn = jax.nn.softmax(logits, axis=-1).astype(self.dtype)
         out = jnp.einsum("bhts,bshd->bthd", attn, v).reshape(b, 1, self.embed_dim)
         out = nn.Dense(self.output_dim, dtype=self.dtype, name="c_proj")(out)
