@@ -153,3 +153,25 @@ def test_clip_normalize():
     out = np.asarray(clip_normalize(x))
     np.testing.assert_allclose(out[0, 0, 0], [-1.7923, -1.7521, -1.4802],
                                atol=1e-3)
+
+
+def test_bf16_attention_close_to_f32():
+    """Production towers run bf16 attention logits (models/clip/model.py
+    MultiheadAttention); embeddings must stay within ~1% of the f32 path
+    (the reference's checkpoints run fp16 attention under torch .half())."""
+    import dataclasses
+
+    cfg32 = tiny_clip_config("bf16check")
+    m32 = CLIPModel(cfg32)
+    params = m32.init(
+        jax.random.PRNGKey(0), jnp.ones((1, 32, 32, 3)),
+        jnp.ones((1, 77), jnp.int32),
+    )
+    img = jax.random.uniform(jax.random.PRNGKey(1), (4, 32, 32, 3))
+    e32 = np.asarray(m32.apply(params, img, method=CLIPModel.encode_image))
+    m16 = CLIPModel(dataclasses.replace(cfg32, dtype=jnp.bfloat16))
+    e16 = np.asarray(
+        m16.apply(params, img, method=CLIPModel.encode_image), np.float32
+    )
+    rel = np.linalg.norm(e16 - e32) / np.linalg.norm(e32)
+    assert rel < 0.02, rel
