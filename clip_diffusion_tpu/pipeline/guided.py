@@ -46,6 +46,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import time
 from typing import Any, Callable, Dict, Optional, Tuple
 
 import jax
@@ -364,6 +365,7 @@ def guided_sample(
     resume_state=None,
     return_state: bool = False,
     stop_after: Optional[int] = None,
+    chunk_times: Optional[list] = None,
 ):
     """Run the full guided trajectory.
 
@@ -383,7 +385,13 @@ def guided_sample(
 
     `progress_callback(step_index, image_batch)` — optional host hook fired
     every `progress_every` steps via io_callback (the reference uploads the
-    current image every 5 steps, sample.py:297-303)."""
+    current image every 5 steps, sample.py:297-303).
+
+    `chunk_times` (phase-segmented only): pass a list to receive
+    `(slot_caps, n_steps, seconds)` per dispatched chunk, with a forced
+    per-chunk sync — bench.py uses this to separate warm steady-state
+    execution from one-time executable-load cost within a single
+    trajectory."""
     cfg = pipe.config
     sampler = pipe.sampler
     shape = (batch_size, cfg.height, cfg.width, 3)
@@ -428,7 +436,11 @@ def guided_sample(
         start_pos = start - int(resume_state.step)
 
     end_pos = None if stop_after is None else start_pos + stop_after
-    frames, inner = runner(params, x, k_scan, inner0, start_pos, end_pos)
+    if sampler.phase_segmented and chunk_times is not None:
+        frames, inner = runner(params, x, k_scan, inner0, start_pos, end_pos,
+                               chunk_times=chunk_times)
+    else:
+        frames, inner = runner(params, x, k_scan, inner0, start_pos, end_pos)
     final_x = frames[-1]  # pred_x0 at the last step
     if return_state:
         from clip_diffusion_tpu.utils.checkpoint import SamplingState
@@ -479,7 +491,8 @@ def _get_segmented_runner(pipe, n_steps, num_frames, progress_callback,
                 step_fn, frame_table, progress_callback, progress_every
             )
 
-    def run(params, x, base_key, inner=None, start_pos=0, end_pos=None):
+    def run(params, x, base_key, inner=None, start_pos=0, end_pos=None,
+            chunk_times=None):
         shape = x.shape
         frames = jnp.zeros((n_frames_eff,) + shape, jnp.float32)
         if inner is None:
@@ -500,10 +513,20 @@ def _get_segmented_runner(pipe, n_steps, num_frames, progress_callback,
             for s_chunk, p_chunk in zip(
                 _chunks(seg_steps, chunk_size), _chunks(positions, chunk_size)
             ):
+                t0 = time.perf_counter() if chunk_times is not None else None
                 inner, frames = execs[caps](
                     params, inner, frames, jnp.asarray(s_chunk),
                     jnp.asarray(p_chunk), base_key,
                 )
+                if chunk_times is not None:
+                    # force completion (block_until_ready does not truly
+                    # sync on remote-attached backends; a scalar readback
+                    # does) — serializes chunks, so each dt is that
+                    # chunk's own execution + one host round-trip
+                    int(inner[2])
+                    chunk_times.append(
+                        (caps, len(s_chunk), time.perf_counter() - t0)
+                    )
         return frames, inner
 
     return run

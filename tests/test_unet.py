@@ -106,3 +106,31 @@ def test_halfres_channel_mult():
     cfg = UNetConfig.for_image_size(256)
     assert cfg.channel_mult == (1, 1, 2, 2, 4, 4)
     assert cfg.attention_ds == (8, 16, 32)
+
+
+def test_bf16_attention_close_to_f32(tiny):
+    """Production UNet runs bf16 attention logits (models/unet.py
+    AttentionBlock, same change as models/clip/model.py); eps prediction
+    must stay within ~2% of the f32 path, and the f32 path itself is
+    bit-identical to the pre-change forced-f32-logits form (covered by
+    the pinned goldens in test_golden.py)."""
+    import dataclasses
+
+    cfg, _, params = tiny
+    # the output head is zero-initialized (test above) — perturb every
+    # leaf so the comparison isn't 0-vs-0
+    leaves, treedef = jax.tree_util.tree_flatten(params)
+    keys = jax.random.split(jax.random.PRNGKey(7), len(leaves))
+    params = jax.tree_util.tree_unflatten(
+        treedef,
+        [l + 0.02 * jax.random.normal(k, l.shape, l.dtype)
+         for l, k in zip(leaves, keys)],
+    )
+    x = jax.random.normal(jax.random.PRNGKey(3), (2, 16, 16, 3))
+    t = jnp.asarray([100.0, 700.0])
+    m32 = UNetModel(cfg)
+    m16 = UNetModel(dataclasses.replace(cfg, dtype=jnp.bfloat16))
+    e32 = np.asarray(m32.apply(params, x, t), np.float32)
+    e16 = np.asarray(m16.apply(params, x, t), np.float32)
+    rel = np.linalg.norm(e16 - e32) / np.linalg.norm(e32)
+    assert rel < 0.02, rel
