@@ -189,3 +189,33 @@ def test_multi_perceptor_ensemble():
     pipe, params = _tiny_pipeline(num_perceptors=2)
     final, _ = guided_sample(pipe, params, jax.random.PRNGKey(6))
     assert np.isfinite(np.asarray(final)).all()
+
+
+def test_chunk_times_reconstruct_trajectory():
+    """guided_sample(chunk_times=...) reports per-chunk (caps, n_steps,
+    seconds) covering every executed step exactly once — the basis of
+    bench.py's warm steady-state reconstruction (the relay worker only
+    guarantees one full trajectory per process; see CLAUDE.md)."""
+    import dataclasses
+
+    from clip_diffusion_tpu.pipeline.guided import guided_sample
+
+    pipe, params = _tiny_pipeline(steps=7)
+    pipe = dataclasses.replace(
+        pipe, sampler=dataclasses.replace(pipe.sampler, phase_segmented=True)
+    )
+    ct = []
+    final, frames = guided_sample(
+        pipe, params, jax.random.PRNGKey(0), batch_size=1,
+        max_steps_per_dispatch=3, chunk_times=ct,
+    )
+    assert np.isfinite(np.asarray(final)).all()
+    assert sum(n for _, n, _ in ct) == 7  # every step accounted for
+    assert all(dt > 0 for _, _, dt in ct)
+    assert all(isinstance(caps, tuple) and len(caps) == 2 for caps, _, _ in ct)
+    # identical result with timing off (host-side only, no retrace)
+    final2, _ = guided_sample(
+        pipe, params, jax.random.PRNGKey(0), batch_size=1,
+        max_steps_per_dispatch=3,
+    )
+    np.testing.assert_array_equal(np.asarray(final), np.asarray(final2))
