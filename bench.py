@@ -145,13 +145,32 @@ def bench_trajectory(args, config, pipe, params):
     key = jax.random.PRNGKey(0)
     chunk_times = []
     t0 = time.time()
-    final, _ = guided_sample(pipe, params, key, batch_size=args.batch,
-                             max_steps_per_dispatch=args.chunk,
-                             chunk_times=chunk_times)
+    final, frames = guided_sample(pipe, params, key, batch_size=args.batch,
+                                  max_steps_per_dispatch=args.chunk,
+                                  chunk_times=chunk_times)
     _ = float(final.sum())
     compile_s = time.time() - t0
     all_chunks.extend(chunk_times)
-    del final
+    try:  # refresh the round's artifacts (round-2 naming kept)
+        import numpy as _np
+
+        from clip_diffusion_tpu.utils.image_io import (
+            array_to_image,
+            create_gif,
+            denormalize_image_zero_to_one,
+        )
+
+        os.makedirs("output_images", exist_ok=True)
+        array_to_image(
+            _np.asarray(denormalize_image_zero_to_one(final[0]))
+        ).save("output_images/guided_512_250steps_segmented.png")
+        create_gif(
+            _np.asarray(denormalize_image_zero_to_one(frames[:, 0])),
+            "output_images/guided_512_250steps_segmented.gif",
+        )
+    except Exception as e:  # noqa: BLE001 — artifacts are best-effort
+        print(f"artifact save failed: {e}", file=sys.stderr)
+    del final, frames
 
     times = []
     repeat_errors = []
