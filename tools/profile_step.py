@@ -79,10 +79,14 @@ def main():
         print(name, result[name], flush=True)
 
     def k_grad_loop(body):
+        # `body(c, p)` with params threaded as a jit ARGUMENT: closing a
+        # big tower's params into the jitted fn serializes them into the
+        # HLO and blows the remote-compile request limit (HTTP 413 for
+        # ViT-L/14's ~600 MB bf16 tree; see CLAUDE.md).
         @jax.jit
-        def run(c):
+        def run(c, p):
             def step(cc, i):
-                g = jax.grad(body)(cc)
+                g = jax.grad(lambda z: body(z, p))(cc)
                 return cc + (1e-6 * g).astype(cc.dtype), None
 
             cf, _ = jax.lax.scan(step, c, jnp.arange(K))
@@ -157,14 +161,14 @@ def main():
     if want("cutouts"):
         spec = CutoutSpec(cut_size=224, max_overview=14, max_inner=2)
 
-        def cuts_loss(xx):
+        def cuts_loss(xx, _p):
             cuts, w = make_cutouts_batch(
                 xx.astype(jnp.bfloat16), key, jnp.int32(14), jnp.int32(2),
                 jnp.float32(5.0), jnp.float32(0.7), spec, repeats=4,
             )
             return jnp.sum(cuts.astype(jnp.float32))
 
-        timed("cutouts_64_fwd_bwd", k_grad_loop(cuts_loss), x)
+        timed("cutouts_64_fwd_bwd", k_grad_loop(cuts_loss), x, None)
 
     if want("sampler"):
         @jax.jit
@@ -192,7 +196,7 @@ def main():
         for i, perc in enumerate(pipe.perceptors):
             pp = params["perceptors"][i]
 
-            def embed_loss(c, pp=pp, perc=perc):
+            def embed_loss(c, pp, perc=perc):
                 e = perc.embed_image(pp["clip"], clip_normalize(c))
                 d = square_spherical_distance_loss(
                     e[:, None, :], pp["text_embeddings"][None, :, :]
@@ -200,7 +204,7 @@ def main():
                 return jnp.sum(d)
 
             tag = perc.name.replace("/", "_")
-            timed(f"clip_{tag}_fwdbwd_64", k_grad_loop(embed_loss), cuts)
+            timed(f"clip_{tag}_fwdbwd_64", k_grad_loop(embed_loss), cuts, pp)
 
     print("BREAKDOWN " + json.dumps(result))
 
