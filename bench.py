@@ -124,6 +124,25 @@ def bench_flagship(args):
     }
 
 
+def steady_state_from_chunks(all_chunks, total_runs):
+    """Reconstruct the warm per-trajectory seconds from per-chunk timings.
+
+    `all_chunks`: [(slot_caps, n_steps, seconds), ...] accumulated over
+    `total_runs` complete trajectories (guided_sample's chunk_times).
+    Per phase program, the best observed per-step rate (its first chunk
+    absorbs the one-time executable load; later chunks are pure
+    execution) is applied to every step that program covers.  Returns
+    (steady_seconds, {caps: best_seconds_per_step})."""
+    best_rate, step_count = {}, {}
+    for caps, nsteps, dt in all_chunks:
+        best_rate[caps] = min(best_rate.get(caps, 1e9), dt / nsteps)
+        step_count[caps] = step_count.get(caps, 0) + nsteps
+    steady = sum(
+        best_rate[c] * step_count[c] / total_runs for c in best_rate
+    )
+    return steady, best_rate
+
+
 def bench_trajectory(args, config, pipe, params):
     """Time the COMPLETE guided trajectory (args.steps steps) end to end
     through the public pipeline — the number a user actually experiences."""
@@ -195,16 +214,7 @@ def bench_trajectory(args, config, pipe, params):
                   file=sys.stderr)
             time.sleep(60.0)
 
-    # warm steady state: per-program best per-step rate over all observed
-    # chunks, applied to every step that program covers
-    best_rate, step_count = {}, {}
-    for caps, nsteps, dt in all_chunks:
-        best_rate[caps] = min(best_rate.get(caps, 1e9), dt / nsteps)
-        step_count[caps] = step_count.get(caps, 0) + nsteps
-    total_runs = 1 + len(times)
-    steady_s = sum(
-        best_rate[c] * step_count[c] / total_runs for c in best_rate
-    )
+    steady_s, best_rate = steady_state_from_chunks(all_chunks, 1 + len(times))
     traj_s = min(times) if times else compile_s
     traj_s = min(traj_s, steady_s)
     per_image_s = traj_s / args.batch
@@ -320,13 +330,7 @@ def bench_config(args):
             # bench_trajectory: a repeat can RESOURCE_EXHAUST even though
             # the first trajectory succeeded; fall back to chunk timing
             print(f"config repeat {r + 1} failed: {e}", file=sys.stderr)
-    best_rate, step_count = {}, {}
-    for caps, nsteps, dt in all_chunks:
-        best_rate[caps] = min(best_rate.get(caps, 1e9), dt / nsteps)
-        step_count[caps] = step_count.get(caps, 0) + nsteps
-    steady_s = sum(
-        best_rate[c] * step_count[c] / (1 + len(times)) for c in best_rate
-    )
+    steady_s, _ = steady_state_from_chunks(all_chunks, 1 + len(times))
     best = min(times) if times else compile_s
     best = min(best, steady_s)
     exec_steps = sampler.steps - skip
