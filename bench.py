@@ -478,11 +478,12 @@ def main():
 
     _enable_compile_cache()
     # the remote compile/execute service fails transiently (HTTP 500 /
-    # worker restarts take 3-5 min, during which every call returns
-    # RESOURCE_EXHAUSTED); keep retrying across a full restart window
-    # before giving up on the round's number
+    # worker restarts usually take 3-5 min but have been observed north
+    # of 15, during which every call returns RESOURCE_EXHAUSTED or
+    # UNAVAILABLE); keep retrying across a full restart window before
+    # giving up on the round's number
     last_err = None
-    for attempt in range(6):
+    for attempt in range(10):
         try:
             if args.smoke:
                 result = bench_smoke(args)
@@ -499,7 +500,15 @@ def main():
 
             traceback.print_exc(file=sys.stderr)
             print(f"bench attempt {attempt + 1} failed: {e}", file=sys.stderr)
-            time.sleep(60)
+            time.sleep(min(60 + 30 * attempt, 180))
+            try:
+                # a failed backend INIT (worker outage at process start)
+                # is cached by jax — drop it so the next attempt re-dials
+                import jax.extend as _jex
+
+                _jex.backend.clear_backends()
+            except Exception:  # noqa: BLE001 — best-effort
+                pass
     else:
         result = {
             "metric": "guided_512px_250steps_images_per_min_per_chip",
