@@ -22,12 +22,33 @@ Flags: --smoke (tiny models, CI), --quick (K-step extrapolation),
 
 import argparse
 import json
+import math
 import os
 import sys
 import time
 
 REFERENCE_IMAGES_PER_MIN = 0.08  # T4 estimate, see docstring
 DEFAULT_STEPS = 250
+HEADLINE_METRIC = "guided_512px_250steps_images_per_min_per_chip"
+DEFAULT_CLIPS = "ViT-B/32,ViT-B/16,ViT-L/14,RN101"
+
+
+def _is_headline(args):
+    """True iff the run is the default flagship configuration.
+
+    Probe runs with overridden knobs (--steps/--width/--clips/...) get a
+    distinct metric name so an extrapolated probe can never masquerade
+    as — or overwrite (LAST_GOOD_PATH) — the committed headline."""
+    return (
+        args.steps == DEFAULT_STEPS
+        and args.width == 512
+        and args.height == 512
+        and args.batch == 1
+        and args.cutout_batches == 4
+        and args.clips == DEFAULT_CLIPS
+    )
+
+
 # last successful headline (committed): referenced in the failure JSON so
 # an infra outage is distinguishable from a perf regression
 LAST_GOOD_PATH = os.path.join(
@@ -35,12 +56,30 @@ LAST_GOOD_PATH = os.path.join(
 )
 
 
-def _enable_compile_cache():
+def _enable_compile_cache(cpu: bool = False):
+    """Persistent compile cache. TPU programs share `.jax_cache`; CPU
+    programs get a host-fingerprinted `.jax_cache_cpu_<hash>` dir — a
+    cached CPU executable is host-specialized AOT code keyed WITHOUT host
+    features, and this container migrates hosts, so a shared CPU dir can
+    load stale code that SIGILLs (see CLAUDE.md / __graft_entry__)."""
     import jax
 
+    name = ".jax_cache"
+    if cpu:
+        try:
+            import hashlib
+
+            with open("/proc/cpuinfo", "rb") as f:
+                flags = [ln for ln in f if ln.startswith(b"flags")]
+            fp = hashlib.sha256(
+                flags[0] if flags else b"none"
+            ).hexdigest()[:10]
+            name = f".jax_cache_cpu_{fp}"
+        except Exception:
+            return  # no fingerprint -> no CPU cache, cold compile is safe
     try:
         jax.config.update("jax_compilation_cache_dir",
-                          os.path.join(os.path.dirname(__file__), ".jax_cache"))
+                          os.path.join(os.path.dirname(__file__), name))
         jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     except Exception:
@@ -109,7 +148,8 @@ def bench_flagship(args):
     per_image_s = per_step * DEFAULT_STEPS / args.batch
     images_per_min = 60.0 / per_image_s
     return {
-        "metric": "guided_512px_250steps_images_per_min_per_chip",
+        "metric": (HEADLINE_METRIC if _is_headline(args)
+                   else "guided_custom_images_per_min_per_chip"),
         "value": round(images_per_min, 4),
         "unit": "images/min",
         "vs_baseline": round(images_per_min / REFERENCE_IMAGES_PER_MIN, 2),
@@ -138,6 +178,10 @@ def steady_state_from_chunks(all_chunks, total_runs):
     absorbs the one-time executable load; later chunks are pure
     execution) is applied to every step that program covers.  Returns
     (steady_seconds, {caps: best_seconds_per_step})."""
+    if not all_chunks:
+        # non-segmented runs produce no per-chunk timings; inf (not 0)
+        # so min(traj_s, steady_s) keeps the measured trajectory time
+        return float("inf"), {}
     best_rate, step_count = {}, {}
     for caps, nsteps, dt in all_chunks:
         best_rate[caps] = min(best_rate.get(caps, 1e9), dt / nsteps)
@@ -226,7 +270,8 @@ def bench_trajectory(args, config, pipe, params):
     scale = DEFAULT_STEPS / args.steps  # extrapolate if steps differ
     images_per_min = 60.0 / (per_image_s * scale)
     return {
-        "metric": "guided_512px_250steps_images_per_min_per_chip",
+        "metric": (HEADLINE_METRIC if _is_headline(args)
+                   else "guided_custom_images_per_min_per_chip"),
         "value": round(images_per_min, 4),
         "unit": "images/min",
         "vs_baseline": round(images_per_min / REFERENCE_IMAGES_PER_MIN, 2),
@@ -234,7 +279,9 @@ def bench_trajectory(args, config, pipe, params):
             "mode": "full-trajectory",
             "trajectory_s": round(traj_s, 1),
             "first_run_s": round(compile_s, 1),
-            "steady_state_s": round(steady_s, 1),
+            "steady_state_s": (
+                round(steady_s, 1) if math.isfinite(steady_s) else None
+            ),
             "phase_ms_per_step": {
                 str(c): round(best_rate[c] * 1000, 1) for c in best_rate
             },
@@ -419,6 +466,7 @@ def bench_smoke(args):
     # tiny-model smoke is a wiring check, not a perf number: the remote TPU
     # relay charges ~seconds per small dispatch, so run it on host CPU
     jax.config.update("jax_platforms", "cpu")
+    _enable_compile_cache(cpu=True)
 
     from clip_diffusion_tpu.tests_support import build_tiny_pipeline
 
@@ -464,7 +512,7 @@ def main():
     p.add_argument("--height", type=int, default=512)
     p.add_argument("--cutout-batches", type=int, default=4)
     p.add_argument(
-        "--clips", type=str, default="ViT-B/32,ViT-B/16,ViT-L/14,RN101"
+        "--clips", type=str, default=DEFAULT_CLIPS
     )
     args = p.parse_args()
 
@@ -481,7 +529,7 @@ def main():
             1 if (args.trajectory or args.latent or args.config) else 3
         )
 
-    _enable_compile_cache()
+    _enable_compile_cache(cpu=args.smoke)
     # the remote compile/execute service fails transiently (HTTP 500 /
     # worker restarts usually take 3-5 min but have been observed north
     # of 15, during which every call returns RESOURCE_EXHAUSTED or
@@ -516,7 +564,7 @@ def main():
                 pass
     else:
         result = {
-            "metric": "guided_512px_250steps_images_per_min_per_chip",
+            "metric": HEADLINE_METRIC,
             "value": 0.0,
             "unit": "images/min",
             "vs_baseline": 0.0,
@@ -534,7 +582,8 @@ def main():
             pass
     if (
         result.get("value")
-        and result.get("metric") == "guided_512px_250steps_images_per_min_per_chip"
+        and result.get("metric") == HEADLINE_METRIC
+        and result.get("detail", {}).get("mode") == "full-trajectory"
     ):
         try:
             with open(LAST_GOOD_PATH, "w") as f:

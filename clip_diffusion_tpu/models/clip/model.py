@@ -16,7 +16,6 @@ functional.py:97-102 with the constants at functional.py:16-18).
 from __future__ import annotations
 
 import dataclasses
-import functools
 from typing import Optional, Tuple
 
 import flax.linen as nn

@@ -81,9 +81,14 @@ class CrossAttention(nn.Module):
         v = v.reshape(b, s, self.heads, self.dim_head)
         # logits at model dtype (f32-internal softmax below): halves the
         # (b,h,t,s) attention HBM traffic under bf16; f32 configs are
-        # bit-identical to the previous forced-f32-logits form.  See
-        # models/clip/model.py MultiheadAttention for the measurement.
-        logits = jnp.einsum("bthd,bshd->bhts", q, k) / np.sqrt(self.dim_head)
+        # bit-identical to the previous forced-f32-logits form.  The
+        # scale must be cast to self.dtype — a bare np.sqrt() float64
+        # scalar is strongly typed and promotes bf16 logits to f32.
+        # See models/clip/model.py MultiheadAttention for the
+        # measurement.
+        logits = jnp.einsum("bthd,bshd->bhts", q, k) / jnp.asarray(
+            np.sqrt(self.dim_head), self.dtype
+        )
         attn = jax.nn.softmax(
             logits.astype(jnp.float32), axis=-1
         ).astype(self.dtype)

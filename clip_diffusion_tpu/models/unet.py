@@ -232,10 +232,15 @@ class AttentionBlock(nn.Module):
         # accumulates QK^T in f32 either way, but storing the (b,h,t,s)
         # logits at model dtype instead of f32 halves attention HBM
         # traffic (same change measured -13.6% on ViT-L/14 fwd+bwd in
-        # models/clip/model.py).  Softmax still reduces in f32 below;
-        # f32 configs (tests/goldens) are bit-identical to the previous
-        # forced-f32-logits form.
-        logits = jnp.einsum("bthd,bshd->bhts", q, k) / np.sqrt(d)
+        # models/clip/model.py).  The scale must be a scalar of
+        # self.dtype — a bare np.sqrt() float64 is strongly typed and
+        # silently promotes bf16 logits back to f32.  Division (not
+        # multiply-by-reciprocal) keeps f32 configs (tests/goldens)
+        # bit-identical for non-power-of-two head dims.  Softmax still
+        # reduces in f32 below.
+        logits = jnp.einsum("bthd,bshd->bhts", q, k) / jnp.asarray(
+            np.sqrt(d), self.dtype
+        )
         attn = jax.nn.softmax(
             logits.astype(jnp.float32), axis=-1
         ).astype(self.dtype)

@@ -78,6 +78,10 @@ def get_random_prompt(prompt_type: str = "景觀", fetcher=None) -> str:
             inspect.signature(fetcher).bind(path)
         except TypeError:
             return fetcher()  # round-1 contract: zero-arg scrape hook
+        except ValueError:
+            # C-implemented callables can have no introspectable
+            # signature; assume the documented one-arg contract
+            pass
         return fetcher(path)
     import random
 

@@ -164,6 +164,17 @@ class ClipDiffusionServer:
                         except KeyError as e:
                             self._json(400, {"error": str(e)})
                             return
+                        except Exception as e:  # noqa: BLE001
+                            # corrupt / architecture-mismatched checkpoint
+                            # (ValueError from the template check, orbax IO
+                            # errors): answer with JSON instead of killing
+                            # the connection mid-handler
+                            self._json(
+                                500,
+                                {"error": f"model_type {model_type!r} "
+                                          f"failed to load: {e}"},
+                            )
+                            return
                         if custom is not None:
                             kwargs["custom_model_params"] = custom
                     ok = server.worker.launch(

@@ -231,8 +231,17 @@ def latent_diffusion_sample(
     first-call lazy load into module globals (reference sample.py:347-353).
     `upscaler(images01) -> images01` is the Real-ESRGAN hook
     (models/esrgan.upscale partial); injection kwargs remain for tests."""
-    if pipe is None or text_encode is None or latent_params is None:
+    injected = (pipe, latent_params, text_encode)
+    if all(v is None for v in injected):
         pipe, latent_params, text_encode = _default_latent_stack()
+    elif any(v is None for v in injected):
+        # a partial injection would silently sample from the default
+        # (lazily random-init) stack instead of the caller's models
+        raise ValueError(
+            "latent_diffusion_sample: pass pipe, latent_params and "
+            "text_encode together (or none of them for the default "
+            "lazily-built stack)"
+        )
     uploader = uploader or LocalUploader(output_dir)
     batch_folder = os.path.join(output_dir, "latent")
     os.makedirs(batch_folder, exist_ok=True)

@@ -224,12 +224,18 @@ class SPMUnigram:
     # -- normalization (nmt_nfkc defaults + dummy prefix + escaping) -------
     def normalize(self, text: str) -> str:
         text = unicodedata.normalize("NFKC", text)
-        # nmt_nfkc: control chars -> drop, all whitespace -> space
+        # nmt_nfkc: ALL whitespace -> space (incl. tab/newline/CR, which
+        # are category Cc — check isspace first or they'd be dropped and
+        # words across line breaks would fuse); remaining control chars
+        # (Cc/Cf) -> drop
         chars = []
         for ch in text:
-            if unicodedata.category(ch) in ("Cc", "Cf"):
+            if ch.isspace():
+                chars.append(" ")
+            elif unicodedata.category(ch) in ("Cc", "Cf"):
                 continue
-            chars.append(" " if ch.isspace() else ch)
+            else:
+                chars.append(ch)
         text = "".join(chars)
         text = " ".join(text.split())  # remove_extra_whitespaces
         if not text:

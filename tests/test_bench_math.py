@@ -36,3 +36,12 @@ def test_uneven_chunk_lengths_use_per_step_rate():
     steady, rates = bench.steady_state_from_chunks(chunks, total_runs=1)
     assert abs(rates["A"] - 0.1) < 1e-9
     assert abs(steady - 3.0) < 1e-9
+
+
+def test_empty_chunks_returns_inf_not_zero():
+    # --no-segmented trajectories record no chunk timings; 0.0 here would
+    # clobber the real trajectory time via min() and end in a division
+    # by zero when computing images/min
+    steady, rates = bench.steady_state_from_chunks([], total_runs=1)
+    assert steady == float("inf")
+    assert rates == {}

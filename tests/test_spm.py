@@ -99,6 +99,20 @@ def test_parity_vs_hf_unigram_oracle():
     )
 
 
+def test_normalize_maps_tabs_and_newlines_to_space():
+    # nmt_nfkc maps \t/\n/\r (category Cc!) to space — dropping them
+    # would fuse words across line breaks; other control chars drop
+    pieces = _fixture_pieces()
+    tok = spm.SPMUnigram(pieces, {"unk_id": 2})
+    assert tok.normalize("line1\nline2") == tok.normalize("line1 line2")
+    assert tok.normalize("a\tb\r\nc") == tok.normalize("a b c")
+    assert tok.encode_as_ids("line1\nline2") == tok.encode_as_ids(
+        "line1 line2"
+    )
+    # a genuine (non-whitespace) control char still drops
+    assert tok.normalize("a\x00b") == tok.normalize("ab")
+
+
 def test_parity_unknown_chars_fused():
     tokenizers = pytest.importorskip("tokenizers")
     from tokenizers import Tokenizer, models, normalizers, pre_tokenizers
