@@ -292,3 +292,79 @@ def serve_guided_batch(
         out_shardings=(out_sh, None),
     )(params, key)
     return final, frames
+
+
+def serve_latent_batch(
+    pipe,
+    params,
+    context_cond,
+    context_uncond=None,
+    seeds_per_prompt: int = 1,
+    base_seed: int = 0,
+    mesh=None,
+    height: int = 256,
+    width: int = 256,
+    steps: int = 50,
+    guidance_scale: float = 5.0,
+    eta: float = 0.0,
+    mode: str = "ddim",
+    decode: bool = True,
+):
+    """Pod-parallel latent sampling: N prompts x M seeds as ONE mesh-sharded
+    CFG program — the latent analog of `serve_guided_batch`.
+
+    The reference's latent batching lives entirely on one device
+    (reference sample.py:410-421 passes batch_size into sampler.sample);
+    here the batch axis is sharded over the (prompt, seed) mesh so a pod
+    serves N·M images per dispatch with zero hot-loop collectives (the CFG
+    scan touches only its own batch shard; parameters are replicated).
+
+    context_cond: (n_prompts, T, D) per-prompt text conditioning (a 2-D
+    (T, D) array means one prompt); rows are repeated seeds_per_prompt
+    times, seeds fanning out within a prompt exactly like
+    serve_guided_batch.  context_uncond: (1|n_prompts, T, D) empty-string
+    conditioning for CFG, or None to disable CFG.  Returns decoded [0,1]
+    pixels (B, H, W, 3) when `decode`, else latents (B, h, w, C), batch
+    axis sharded over the mesh.
+    """
+    from clip_diffusion_tpu.pipeline.latent import decode_latents, latent_sample
+
+    mesh = mesh or make_mesh()
+    ctx_c = jnp.asarray(context_cond)
+    if ctx_c.ndim == 2:
+        ctx_c = ctx_c[None]
+    n_prompts = ctx_c.shape[0]
+    batch = n_prompts * seeds_per_prompt
+    ctx_c = jnp.repeat(ctx_c, seeds_per_prompt, axis=0)
+
+    use_cfg = context_uncond is not None and guidance_scale > 0
+    if use_cfg:
+        ctx_u = jnp.asarray(context_uncond)
+        if ctx_u.ndim == 2:
+            ctx_u = ctx_u[None]
+        if ctx_u.shape[0] == 1:
+            ctx_u = jnp.broadcast_to(ctx_u, (batch,) + ctx_u.shape[1:])
+        elif ctx_u.shape[0] == n_prompts:
+            ctx_u = jnp.repeat(ctx_u, seeds_per_prompt, axis=0)
+        elif ctx_u.shape[0] != batch:
+            raise ValueError(
+                f"context_uncond carries {ctx_u.shape[0]} rows; expected "
+                f"1, {n_prompts} (per prompt) or {batch} (per image)"
+            )
+    else:
+        ctx_u = jnp.zeros_like(ctx_c)
+
+    key = jax.random.PRNGKey(base_seed)
+    out_sh = batch_sharding(mesh)
+
+    def run(p, c, u, k):
+        z = latent_sample(
+            pipe, p, k, c, u if use_cfg else None,
+            batch_size=batch, height=height, width=width, steps=steps,
+            guidance_scale=guidance_scale, eta=eta, mode=mode,
+        )
+        if decode:
+            return decode_latents(pipe, p["vq"], z)
+        return z
+
+    return jax.jit(run, out_shardings=out_sh)(params, ctx_c, ctx_u, key)

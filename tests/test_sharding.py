@@ -152,3 +152,58 @@ def test_ensemble_parallel_matches_single_device():
                                atol=1e-5)
     np.testing.assert_allclose(np.asarray(p_ens), np.asarray(p_ref),
                                atol=1e-5)
+
+
+def _tiny_latent_stack():
+    from clip_diffusion_tpu.zoo import build_latent_models, build_latent_pipeline
+
+    models = build_latent_models(tiny=True, param_dtype=jnp.float32)
+    return build_latent_pipeline(models)
+
+
+def test_serve_latent_batch_matches_single_device():
+    """Pod-parallel latent sampling: the 8-device mesh run must agree with
+    the single-device run (placement-invariant RNG; reductions may fuse
+    differently per placement, hence allclose like the guided test), with
+    distinct rows per (prompt, seed)."""
+    from clip_diffusion_tpu.parallel.serving import serve_latent_batch
+
+    pipe, params, text_encode = _tiny_latent_stack()
+    ctx_c = text_encode(["a cat painting", "a photo of a dog"])
+    ctx_u = text_encode([""])
+
+    kwargs = dict(
+        seeds_per_prompt=4, base_seed=7, height=32, width=32, steps=3,
+        guidance_scale=5.0,
+    )
+    out1 = serve_latent_batch(pipe, params, ctx_c, ctx_u,
+                              mesh=make_mesh(1), **kwargs)
+    out8 = serve_latent_batch(pipe, params, ctx_c, ctx_u,
+                              mesh=make_mesh(8), **kwargs)
+
+    assert out8.shape[0] == 8
+    assert len(out8.sharding.device_set) == 8
+    a1, a8 = np.asarray(out1), np.asarray(out8)
+    np.testing.assert_allclose(a1, a8, atol=1e-5)
+    assert np.isfinite(a8).all()
+    # every (prompt, seed) row is a distinct image
+    flat = a8.reshape(8, -1)
+    for i in range(8):
+        for j in range(i + 1, 8):
+            assert np.abs(flat[i] - flat[j]).max() > 1e-3
+
+
+def test_serve_latent_batch_no_cfg_and_latents():
+    """CFG-off path (context_uncond=None) returns sharded raw latents."""
+    from clip_diffusion_tpu.parallel.serving import serve_latent_batch
+
+    pipe, params, text_encode = _tiny_latent_stack()
+    ctx_c = text_encode(["a single prompt"])
+
+    out = serve_latent_batch(
+        pipe, params, ctx_c, None, seeds_per_prompt=8, base_seed=3,
+        height=32, width=32, steps=2, mesh=make_mesh(8), decode=False,
+    )
+    assert out.shape == (8, 16, 16, pipe.latent_channels)
+    assert len(out.sharding.device_set) == 8
+    assert np.isfinite(np.asarray(out)).all()
