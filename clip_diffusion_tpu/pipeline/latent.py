@@ -23,6 +23,7 @@ TPU design:
 from __future__ import annotations
 
 import dataclasses
+import time
 from typing import Callable, Optional
 
 import jax
@@ -105,12 +106,22 @@ def latent_sample(
     order: int = 2,
     x0_latent=None,
     mask=None,
+    max_steps_per_dispatch: Optional[int] = None,
+    chunk_times: Optional[list] = None,
 ):
     """Run the CFG latent diffusion loop; returns final latents (B,h,w,4).
 
     context_cond/uncond: (B, 77, D) text conditioning.  guidance_scale <= 0
     or context_uncond=None disables CFG (single forward per step, matching
-    reference sample.py:396-401)."""
+    reference sample.py:396-401).
+
+    `max_steps_per_dispatch`: when set, the trajectory executes as
+    host-chained scan chunks of at most this many steps (one compiled
+    program reused for every same-sized chunk; the PLMS history carry
+    crosses chunks bit-exactly).  `chunk_times`, if a list, receives
+    `(n_steps, seconds)` per chunk with a forced on-device completion —
+    the same steady-state measurement hook as `guided_sample`
+    (relay dispatch latency is noisy; min-over-chunks filters it)."""
     if mode == "plms":
         eta = 0.0  # reference sample.py:366-367
     tables = ldm_ddim_tables(steps, eta)
@@ -146,7 +157,7 @@ def latent_sample(
     x0_init = jax.random.normal(k_init, shape, jnp.float32)
     inpaint = mask is not None and x0_latent is not None
 
-    def run(params, ctx_c, ctx_u, x, x0_lat, msk):
+    def run(params, ctx_c, ctx_u, x, x0_lat, msk, idxs, hist, cnt):
         def body(carry, i):
             x, hist, cnt = carry
             step_key = jax.random.fold_in(k_scan, i)
@@ -179,21 +190,39 @@ def latent_sample(
             x_prev = jnp.sqrt(a_prev) * pred_x0 + dir_xt + noise
             return (x_prev, hist, cnt), None
 
-        steps_desc = jnp.arange(steps - 1, -1, -1)
-        (x, _, _), _ = jax.lax.scan(
-            body, (x, init_history(shape), jnp.int32(0)), steps_desc
-        )
-        return x
+        (x, hist, cnt), _ = jax.lax.scan(body, (x, hist, cnt), idxs)
+        # the scalar is computed inside the program so a host readback of
+        # it forces the whole chunk to complete (block_until_ready does not
+        # truly sync on remote-attached backends)
+        return x, hist, cnt, jnp.float32(jnp.sum(x))
 
     zeros = jnp.zeros(shape, jnp.float32)
-    return jax.jit(run)(
+    run_jit = jax.jit(run)
+    common = (
         params,
         context_cond,
         context_uncond if use_cfg else jnp.zeros_like(context_cond),
-        x0_init,
+    )
+    tail = (
         x0_latent if inpaint else zeros,
         mask if inpaint else zeros[..., :1],
     )
+    steps_desc = np.arange(steps - 1, -1, -1, dtype=np.int32)
+    x, hist, cnt = x0_init, init_history(shape), jnp.int32(0)
+    if max_steps_per_dispatch is None or max_steps_per_dispatch >= steps:
+        x, _, _, _ = run_jit(*common, x, *tail, jnp.asarray(steps_desc),
+                             hist, cnt)
+        return x
+    for lo in range(0, steps, max_steps_per_dispatch):
+        idxs = steps_desc[lo:lo + max_steps_per_dispatch]
+        t0 = time.perf_counter() if chunk_times is not None else None
+        x, hist, cnt, checksum = run_jit(
+            *common, x, *tail, jnp.asarray(idxs), hist, cnt
+        )
+        if chunk_times is not None:
+            float(checksum)
+            chunk_times.append((len(idxs), time.perf_counter() - t0))
+    return x
 
 
 def img2img_start(pipe: LatentPipeline, params, image):

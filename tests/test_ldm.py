@@ -201,6 +201,32 @@ def test_latent_sample_cfg(ldm_unet):
     assert float(jnp.abs(z - z0).max()) > 1e-5
 
 
+def test_latent_sample_chunked_bitwise(ldm_unet):
+    """Host-chained chunk dispatch (bench steady-state hook) must be
+    bit-identical to the single-dispatch scan, including the PLMS history
+    carry crossing chunk boundaries (7 steps / chunk 3 exercises a ragged
+    final chunk)."""
+    cfg, _, _ = ldm_unet
+    pipe, lparams = _latent_pipe(ldm_unet)
+    ctx_c = jnp.ones((1, 5, cfg.context_dim))
+    ctx_u = jnp.zeros((1, 5, cfg.context_dim))
+    for mode in ("ddim", "plms"):
+        whole = latent_sample(
+            pipe, lparams, jax.random.PRNGKey(3), ctx_c, ctx_u,
+            batch_size=1, height=8, width=8, steps=7, guidance_scale=5.0,
+            mode=mode,
+        )
+        times = []
+        chunked = latent_sample(
+            pipe, lparams, jax.random.PRNGKey(3), ctx_c, ctx_u,
+            batch_size=1, height=8, width=8, steps=7, guidance_scale=5.0,
+            mode=mode, max_steps_per_dispatch=3, chunk_times=times,
+        )
+        np.testing.assert_array_equal(np.asarray(whole), np.asarray(chunked))
+        assert [n for n, _ in times] == [3, 3, 1]
+        assert all(dt > 0 for _, dt in times)
+
+
 def test_latent_sample_plms(ldm_unet):
     cfg, _, _ = ldm_unet
     pipe, lparams = _latent_pipe(ldm_unet)
