@@ -435,10 +435,16 @@ def bench_latent(args):
             guidance_scale=5.0, eta=0.0, mode="ddim",
             max_steps_per_dispatch=chunk, chunk_times=chunk_times,
         )
-        t0 = time.time()
-        imgs = decode_latents(pipe, params["vq"], z)
-        float(jnp.sum(imgs))  # forced host sync
-        return time.time() - t0
+        # decode is a single small dispatch; sample it several times so
+        # min() can filter relay-latency spikes the way min-over-chunks
+        # does for the scan
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.time()
+            imgs = decode_latents(pipe, params["vq"], z)
+            float(jnp.sum(imgs))  # forced host sync
+            best = min(best, time.time() - t0)
+        return best
 
     # the relay adds seconds of noisy dispatch latency (CLAUDE.md: 4x
     # swings); min-over-chunks across all trajectories reconstructs the

@@ -12,6 +12,8 @@ Input/output: NHWC in [0,1].
 
 from __future__ import annotations
 
+import functools
+
 import flax.linen as nn
 import jax.numpy as jnp
 
@@ -151,6 +153,18 @@ def super_resolution_folder(model: RRDBNet, params, folder: str,
     return written
 
 
+@functools.lru_cache(maxsize=None)
+def _jit_enhance(model: RRDBNet):
+    # flax Modules are frozen dataclasses (hashable); jit once per model so
+    # the eager serving path runs ONE program instead of per-op dispatches
+    # (hundreds of round-trips on remote-attached backends)
+    import jax
+
+    return jax.jit(
+        lambda p, x: jnp.clip(model.apply(p, x), 0.0, 1.0)
+    )
+
+
 def upscale(model: RRDBNet, params, images01, tile: int = 0):
     """RealESRGANer.enhance equivalent: NHWC [0,1] -> upscaled [0,1].
 
@@ -160,8 +174,7 @@ def upscale(model: RRDBNet, params, images01, tile: int = 0):
     import jax
 
     if tile <= 0:
-        out = model.apply(params, images01)
-        return jnp.clip(out, 0.0, 1.0)
+        return _jit_enhance(model)(params, images01)
 
     pad = 16
     b, h, w, c = images01.shape
@@ -173,7 +186,9 @@ def upscale(model: RRDBNet, params, images01, tile: int = 0):
             ys, xs = max(y0 - pad, 0), max(x0 - pad, 0)
             ye, xe = min(y1 + pad, h), min(x1 + pad, w)
             patch = images01[:, ys:ye, xs:xe]
-            up = model.apply(params, patch)
+            # one compiled program per distinct patch shape (interior tiles
+            # share one); clip-before-crop == crop-before-clip elementwise
+            up = _jit_enhance(model)(params, patch)
             crop = up[
                 :, (y0 - ys) * s : (y1 - ys) * s, (x0 - xs) * s : (x1 - xs) * s
             ]

@@ -232,10 +232,16 @@ def img2img_start(pipe: LatentPipeline, params, image):
     return pipe.encode(params, image)
 
 
+@jax.jit
+def _denormalize(x):
+    # jitted module-level so the eager path costs ONE extra dispatch, not
+    # three (each eager op is a full round-trip on remote-attached backends)
+    return jnp.clip((x + 1.0) / 2.0, 0.0, 1.0)
+
+
 def decode_latents(pipe: LatentPipeline, params, latents):
     """Latents -> [0,1] pixels (reference decodes then denormalizes,
     sample.py:422-423)."""
     if pipe.decode is None:
         raise ValueError("pipeline has no first-stage decoder")
-    x = pipe.decode(params, latents)
-    return jnp.clip((x + 1.0) / 2.0, 0.0, 1.0)
+    return _denormalize(pipe.decode(params, latents))

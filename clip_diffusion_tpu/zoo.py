@@ -437,17 +437,23 @@ def build_latent_pipeline(models: LatentModels):
     downsample = 2 ** (len(models.vq.cfg.ch_mult) - 1)
     unet_mod, vq_mod, bert_mod = models.unet, models.vq, models.bert
     pipe = LatentPipeline(
+        # unet_apply always runs inside latent_sample's jitted scan; decode/
+        # encode are ALSO called eagerly (bench, sample.py img2img) where an
+        # un-jitted apply executes op-by-op — hundreds of dispatches through
+        # the remote relay (~0.7-1.4 s measured) vs one 32 ms program jitted
         unet_apply=lambda p, x, t, c: unet_mod.apply(p, x, t, c),
-        decode=lambda p, z: vq_mod.apply(p, z, method=VQModel.decode),
-        encode=lambda p, x: vq_mod.apply(p, x, method=VQModel.encode),
+        decode=jax.jit(lambda p, z: vq_mod.apply(p, z, method=VQModel.decode)),
+        encode=jax.jit(lambda p, x: vq_mod.apply(p, x, method=VQModel.encode)),
         latent_channels=models.vq.cfg.embed_dim,
         downsample=downsample,
     )
     params = {"unet": models.unet_params, "vq": models.vq_params,
               "bert": models.bert_params}
+    bert_apply = jax.jit(bert_mod.apply)  # jit once: re-wrapping per call
+    # would re-trace the encoder on every prompt
 
     def text_encode(texts, _p=params):
         toks = jnp.asarray(bert_tokenize(texts))
-        return jax.jit(bert_mod.apply)(_p["bert"], toks)
+        return bert_apply(_p["bert"], toks)
 
     return pipe, params, text_encode
