@@ -215,6 +215,36 @@ class MarianMT(nn.Module):
         return self.decode(tgt_ids, self.encode(src_ids), src_ids)
 
 
+@functools.lru_cache(maxsize=None)
+def _jit_greedy(model: MarianMT, max_len: int, suppress_pad: bool):
+    c = model.cfg
+
+    def impl(params, src_ids):
+        b = src_ids.shape[0]
+        enc_out = model.apply(params, src_ids, method=MarianMT.encode)
+        buf = jnp.full((b, max_len + 1), c.pad_token_id, jnp.int32)
+        buf = buf.at[:, 0].set(c.decoder_start_token_id)
+        done0 = jnp.zeros((b,), bool)
+
+        def step(i, carry):
+            buf, done = carry
+            logits = model.apply(
+                params, buf, enc_out, src_ids, method=MarianMT.decode
+            )  # (B, L+1, V)
+            row = logits[:, i]
+            if suppress_pad:
+                row = row.at[:, c.pad_token_id].set(-jnp.inf)
+            nxt = jnp.argmax(row, axis=-1).astype(jnp.int32)
+            nxt = jnp.where(done, c.pad_token_id, nxt)
+            buf = buf.at[:, i + 1].set(nxt)
+            return buf, done | (nxt == c.eos_token_id)
+
+        buf, _ = jax.lax.fori_loop(0, max_len, step, (buf, done0))
+        return buf[:, 1:]
+
+    return jax.jit(impl)
+
+
 def greedy_decode(
     model: MarianMT,
     params,
@@ -223,36 +253,17 @@ def greedy_decode(
     suppress_pad: bool = True,
 ):
     """Batch greedy generation: (B, Ls) -> (B, max_len) generated ids
-    (eos-terminated, pad-filled).  One jittable program: fixed token buffer,
+    (eos-terminated, pad-filled).  ONE jitted program per (model, max_len)
+    — cached, since this runs eagerly per translation request and an
+    un-jitted encode would dispatch op-by-op (marian_tokenize pads sources
+    to a fixed length, so the program compiles once): fixed token buffer,
     `lax.fori_loop`, full (small) decoder recompute per emitted token.
 
     `suppress_pad` mirrors the opus generation config's bad_words_ids
     [[pad]] — the pad logit is floored so argmax can't emit it."""
-    c = model.cfg
     # the decode buffer is max_len+1 tokens; the sinusoid table caps it
-    max_len = min(max_len, c.max_positions - 1)
-    b = src_ids.shape[0]
-
-    enc_out = model.apply(params, src_ids, method=MarianMT.encode)
-    buf = jnp.full((b, max_len + 1), c.pad_token_id, jnp.int32)
-    buf = buf.at[:, 0].set(c.decoder_start_token_id)
-    done0 = jnp.zeros((b,), bool)
-
-    def step(i, carry):
-        buf, done = carry
-        logits = model.apply(
-            params, buf, enc_out, src_ids, method=MarianMT.decode
-        )  # (B, L+1, V)
-        row = logits[:, i]
-        if suppress_pad:
-            row = row.at[:, c.pad_token_id].set(-jnp.inf)
-        nxt = jnp.argmax(row, axis=-1).astype(jnp.int32)
-        nxt = jnp.where(done, c.pad_token_id, nxt)
-        buf = buf.at[:, i + 1].set(nxt)
-        return buf, done | (nxt == c.eos_token_id)
-
-    buf, _ = jax.lax.fori_loop(0, max_len, step, (buf, done0))
-    return buf[:, 1:]
+    max_len = min(max_len, model.cfg.max_positions - 1)
+    return _jit_greedy(model, max_len, suppress_pad)(params, src_ids)
 
 
 # --------------------------------------------------------------------------

@@ -326,6 +326,13 @@ def serve_latent_batch(
     conditioning for CFG, or None to disable CFG.  Returns decoded [0,1]
     pixels (B, H, W, 3) when `decode`, else latents (B, h, w, C), batch
     axis sharded over the mesh.
+
+    Sizing: unlike guided sampling (per-chip batching is a per-image LOSS,
+    see STATUS.md), the latent UNet at 32x32 latents underfills the MXU at
+    small batch — measured 256^2 DDIM-50 steady state on one v5e chip:
+    43.7 img/min at per-chip batch 1 rising to ~316 img/min at batch 12
+    (saturation ~9-12).  Choose N*M ≈ 9-12 × n_devices for peak
+    throughput; latency-critical requests can stay at batch = n_devices.
     """
     from clip_diffusion_tpu.pipeline.latent import decode_latents, latent_sample
 

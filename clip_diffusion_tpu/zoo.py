@@ -12,6 +12,7 @@ benches and tests run in this zero-egress environment).
 from __future__ import annotations
 
 import dataclasses
+import functools
 import os
 import warnings
 import zlib
@@ -252,6 +253,17 @@ def build_models(
     return ZooModels(unet, uparams, clips, aesthetic, lpips)
 
 
+@functools.lru_cache(maxsize=None)
+def _jit_encode_text(model):
+    """One compiled text-tower program per CLIP model (flax Modules are
+    frozen dataclasses, hence hashable).  build_pipeline runs per REQUEST
+    in serving; an un-jitted apply executes op-by-op — hundreds of
+    round-trips on a remote-attached backend."""
+    return jax.jit(
+        lambda p, t: model.apply(p, t, method=CLIPModel.encode_text)
+    )
+
+
 def build_pipeline(
     models: ZooModels,
     config: Config,
@@ -292,7 +304,7 @@ def build_pipeline(
     perceptors = []
     perceptor_params = []
     for name, (model, params) in models.clips.items():
-        text_emb = model.apply(params, toks, method=CLIPModel.encode_text)
+        text_emb = _jit_encode_text(model)(params, toks)
         if batched:
             # (sum P_i, D) -> padded (B, Pmax, D); pad rows are zero vectors
             # with zero weight (they contribute nothing to the loss)
