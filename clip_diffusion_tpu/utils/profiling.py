@@ -41,6 +41,24 @@ def annotate(name: str):
     return jax.profiler.TraceAnnotation(name)
 
 
+def clear_device_cache() -> None:
+    """Release host+device memory that is no longer referenced (reference
+    `clear_gpu_cache`, functional.py:137-140: gc + torch.cuda.empty_cache).
+
+    The JAX analog: collect Python garbage so dead jax.Arrays drop their
+    device buffers (XLA frees them immediately — there is no allocator
+    cache to flush on TPU), then drop the tracing/compilation caches,
+    which on a remote-attached backend also releases the host-side
+    serialized executables.  Live arrays (model params etc.) are
+    untouched, same as the reference."""
+    import gc
+
+    import jax
+
+    gc.collect()
+    jax.clear_caches()
+
+
 class Stopwatch:
     """Wall-clock section accounting; `report()` returns a JSON-able dict."""
 

@@ -177,3 +177,20 @@ def test_guided_api_images_per_dispatch(monkeypatch, tmp_path):
     assert len({c[1] for c in calls}) == 3  # distinct per-chunk keys
     assert len(res["images"]) == 5
     assert all(os.path.exists(p) for p in res["images"])
+
+
+def test_clear_device_cache_keeps_live_arrays():
+    """clear_gpu_cache analog (reference functional.py:137-140): frees dead
+    buffers + compile caches but must leave live arrays usable."""
+    import jax
+    import jax.numpy as jnp
+
+    from clip_diffusion_tpu.utils import clear_device_cache
+
+    live = jnp.arange(8.0)
+    f = jax.jit(lambda x: x * 2)
+    _ = f(live)
+    clear_device_cache()
+    # live array still valid, recompile after cache drop still works
+    assert float(live.sum()) == 28.0
+    assert float(f(live)[3]) == 6.0
