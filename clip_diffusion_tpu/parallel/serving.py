@@ -329,10 +329,11 @@ def serve_latent_batch(
 
     Sizing: unlike guided sampling (per-chip batching is a per-image LOSS,
     see STATUS.md), the latent UNet at 32x32 latents underfills the MXU at
-    small batch — measured 256^2 DDIM-50 steady state on one v5e chip:
-    43.7 img/min at per-chip batch 1 rising to ~316 img/min at batch 12
-    (saturation ~9-12).  Choose N*M ≈ 9-12 × n_devices for peak
-    throughput; latency-critical requests can stay at batch = n_devices.
+    small batch — measured 256^2 DDIM-50 warm steady state on one v5e
+    chip (chunk-timed, incl. VQ decode): 129 img/min at per-chip batch 1
+    → 222 at batch 3 → 316 at batch 12 (saturating ~9-12).  Choose
+    N*M ≈ 9-12 × n_devices for peak throughput; latency-critical
+    requests can stay at batch = n_devices.
     """
     from clip_diffusion_tpu.pipeline.latent import decode_latents, latent_sample
 
