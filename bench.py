@@ -38,9 +38,12 @@ def _is_headline(args):
 
     Probe runs with overridden knobs (--steps/--width/--clips/...) get a
     distinct metric name so an extrapolated probe can never masquerade
-    as — or overwrite (LAST_GOOD_PATH) — the committed headline."""
+    as — or overwrite (LAST_GOOD_PATH) — the committed headline.
+    --quick (K-step extrapolation, args.trajectory False) is a probe by
+    the same rule even with every knob at its default."""
     return (
-        args.steps == DEFAULT_STEPS
+        getattr(args, "trajectory", True) is not False
+        and args.steps == DEFAULT_STEPS
         and args.width == 512
         and args.height == 512
         and args.batch == 1
@@ -57,33 +60,12 @@ LAST_GOOD_PATH = os.path.join(
 
 
 def _enable_compile_cache(cpu: bool = False):
-    """Persistent compile cache. TPU programs share `.jax_cache`; CPU
-    programs get a host-fingerprinted `.jax_cache_cpu_<hash>` dir — a
-    cached CPU executable is host-specialized AOT code keyed WITHOUT host
-    features, and this container migrates hosts, so a shared CPU dir can
-    load stale code that SIGILLs (see CLAUDE.md / __graft_entry__)."""
-    import jax
+    """Persistent compile cache (shared impl: utils/compile_cache.py —
+    TPU programs share `.jax_cache`, CPU programs get a
+    host-fingerprinted dir; rationale there and in CLAUDE.md)."""
+    from clip_diffusion_tpu.utils.compile_cache import enable_compile_cache
 
-    name = ".jax_cache"
-    if cpu:
-        try:
-            import hashlib
-
-            with open("/proc/cpuinfo", "rb") as f:
-                flags = [ln for ln in f if ln.startswith(b"flags")]
-            fp = hashlib.sha256(
-                flags[0] if flags else b"none"
-            ).hexdigest()[:10]
-            name = f".jax_cache_cpu_{fp}"
-        except Exception:
-            return  # no fingerprint -> no CPU cache, cold compile is safe
-    try:
-        jax.config.update("jax_compilation_cache_dir",
-                          os.path.join(os.path.dirname(__file__), name))
-        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    except Exception:
-        pass  # cache flags are best-effort across jax versions
+    enable_compile_cache(os.path.dirname(os.path.abspath(__file__)), cpu=cpu)
 
 
 def bench_flagship(args):
@@ -580,8 +562,21 @@ def main():
             except Exception:  # noqa: BLE001 — best-effort
                 pass
     else:
+        # label the failure with the metric the run was actually
+        # measuring — a zeroed latent/config run must not read as a
+        # guided-headline failure in aggregated bench logs
+        if args.smoke:
+            fail_metric = "smoke_tiny_guided_5steps"
+        elif args.latent:
+            fail_metric = "latent_256px_ddim50_cfg_images_per_min_per_chip"
+        elif args.config is not None:
+            fail_metric = f"baseline_config_{args.config}_images_per_min_per_chip"
+        elif _is_headline(args):
+            fail_metric = HEADLINE_METRIC
+        else:
+            fail_metric = "guided_custom_images_per_min_per_chip"
         result = {
-            "metric": HEADLINE_METRIC,
+            "metric": fail_metric,
             "value": 0.0,
             "unit": "images/min",
             "vs_baseline": 0.0,
@@ -591,12 +586,14 @@ def main():
         # 0.0 from a dead relay is an infra fact, not a perf fact — point
         # at the last MEASURED result (committed alongside the code) so
         # the two can't be confused.  value stays 0.0: this run measured
-        # nothing.
-        try:
-            with open(LAST_GOOD_PATH) as f:
-                result["detail"]["last_good"] = json.load(f)
-        except Exception:  # noqa: BLE001
-            pass
+        # nothing.  (LAST_GOOD_PATH holds the guided headline — only
+        # attach it to a failed headline run.)
+        if fail_metric == HEADLINE_METRIC:
+            try:
+                with open(LAST_GOOD_PATH) as f:
+                    result["detail"]["last_good"] = json.load(f)
+            except Exception:  # noqa: BLE001
+                pass
     if (
         result.get("value")
         and result.get("metric") == HEADLINE_METRIC

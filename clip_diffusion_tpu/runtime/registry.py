@@ -114,13 +114,15 @@ class UNetRegistry:
                 )
             path = self._paths[name]
             # cache keyed by path: aliases (景觀 == landscape) share one
-            # device-resident tree
-            if path in self._cache:
-                return self._cache[path]
-        params = self._load_checkpoint(path)
-        with self._lock:
-            self._cache[path] = params
-        return params
+            # device-resident tree.  The load happens UNDER the lock:
+            # concurrent first requests for the same finetune must not each
+            # device_put a full 552M tree (HBM headroom at 512² is tight
+            # enough that a transient duplicate can kill the TPU worker —
+            # see STATUS.md batch-scaling notes); blocking the second
+            # request for the load duration is the cheap safe choice.
+            if path not in self._cache:
+                self._cache[path] = self._load_checkpoint(path)
+            return self._cache[path]
 
     def _load_checkpoint(self, path: str):
         from clip_diffusion_tpu.models.convert import validate_against

@@ -102,9 +102,18 @@ def load_or_init(name: str, init_fn, *args, param_dtype=jnp.bfloat16,
     host-random-init — the single gate every zoo builder goes through, so
     `fetch_and_convert.py` output is picked up everywhere (the reference's
     load layer, models.py:41-64).  Parameters land on device ONCE either
-    way (see _host_init)."""
+    way (see _host_init).
+
+    Failure policy: an ABSENT checkpoint initializes (that is the
+    zero-egress default); a PRESENT checkpoint that fails to read or
+    validate RAISES — a provisioned deployment must never silently serve
+    random weights because a tree was corrupted (the serving registry
+    enforces the same, runtime/registry.py).  Set
+    CLIP_DIFFUSION_TPU_LENIENT_LOAD=1 to restore warn-and-init (tests /
+    scratch environments with half-written trees)."""
     path = checkpoint_dir(name, root)
     if path is not None:
+        lenient = bool(os.environ.get("CLIP_DIFFUSION_TPU_LENIENT_LOAD"))
         try:
             from clip_diffusion_tpu.models.convert import validate_against
             from clip_diffusion_tpu.utils.checkpoint import load_params
@@ -112,21 +121,27 @@ def load_or_init(name: str, init_fn, *args, param_dtype=jnp.bfloat16,
             loaded = load_params(path)
             problems = validate_against(jax.eval_shape(init_fn, *args), loaded)
             if problems:
-                warnings.warn(
-                    f"checkpoint {path} does not match the {name} template; "
-                    f"falling back to random init ({problems[:3]}...)"
+                raise RuntimeError(
+                    f"checkpoint {path} does not match the {name} template: "
+                    f"{problems[:3]}..."
                 )
-            else:
-                tree = jax.tree_util.tree_map(
-                    lambda x: np.asarray(x).astype(param_dtype)
-                    if np.issubdtype(np.asarray(x).dtype, np.floating)
-                    else np.asarray(x),
-                    loaded,
-                )
-                return jax.device_put(tree)
+            tree = jax.tree_util.tree_map(
+                lambda x: np.asarray(x).astype(param_dtype)
+                if np.issubdtype(np.asarray(x).dtype, np.floating)
+                else np.asarray(x),
+                loaded,
+            )
+            return jax.device_put(tree)
         except Exception as e:  # noqa: BLE001 — any IO/format problem
+            if not lenient:
+                raise RuntimeError(
+                    f"checkpoint {path} is present but unusable ({e!r}); "
+                    "refusing to serve random init — remove the directory "
+                    "to run from init, or set "
+                    "CLIP_DIFFUSION_TPU_LENIENT_LOAD=1"
+                ) from e
             warnings.warn(f"failed to load checkpoint {path}: {e!r}; "
-                          "falling back to random init")
+                          "falling back to random init (lenient mode)")
     return _host_init(init_fn, *args, param_dtype=param_dtype, seed=seed)
 
 

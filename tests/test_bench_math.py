@@ -45,3 +45,17 @@ def test_empty_chunks_returns_inf_not_zero():
     steady, rates = bench.steady_state_from_chunks([], total_runs=1)
     assert steady == float("inf")
     assert rates == {}
+
+
+def test_quick_run_is_not_headline():
+    """--quick (K-step extrapolation) must never claim the headline metric
+    even with every other knob at its default."""
+    import argparse
+
+    import bench
+
+    knobs = dict(steps=bench.DEFAULT_STEPS, width=512, height=512, batch=1,
+                 cutout_batches=4, clips=bench.DEFAULT_CLIPS)
+    assert bench._is_headline(argparse.Namespace(trajectory=True, **knobs))
+    assert not bench._is_headline(
+        argparse.Namespace(trajectory=False, **knobs))

@@ -100,3 +100,47 @@ def test_latent_default_build_lazy(tmp_path, monkeypatch):
         output_dir=str(tmp_path),
     )
     assert builds == [1]
+
+
+def test_load_or_init_strict_on_corrupt_checkpoint(tmp_path, monkeypatch):
+    """A PRESENT but unusable checkpoint must raise, not silently serve
+    random weights (deploy-path failure policy; lenient mode opt-in)."""
+    import flax.linen as nn
+
+    import clip_diffusion_tpu.zoo as zoo
+
+    dense = nn.Dense(4)
+    init_fn = lambda: dense.init(jax.random.PRNGKey(0), jnp.ones((1, 4)))
+
+    # corrupt tree: a directory that orbax cannot read
+    bad = tmp_path / "dense_head"
+    bad.mkdir()
+    (bad / "garbage").write_text("not a checkpoint")
+    monkeypatch.delenv("CLIP_DIFFUSION_TPU_LENIENT_LOAD", raising=False)
+    with pytest.raises(RuntimeError, match="present but unusable"):
+        zoo.load_or_init("dense_head", init_fn, param_dtype=jnp.float32,
+                         root=str(tmp_path))
+
+    # shape mismatch: a valid tree for a DIFFERENT template also raises
+    from clip_diffusion_tpu.utils.checkpoint import save_params
+
+    other = nn.Dense(8).init(jax.random.PRNGKey(0), jnp.ones((1, 4)))
+    save_params(str(tmp_path / "dense_head2"),
+                jax.tree_util.tree_map(np.asarray, other))
+    with pytest.raises(RuntimeError, match="unusable|does not match"):
+        zoo.load_or_init("dense_head2", init_fn, param_dtype=jnp.float32,
+                         root=str(tmp_path))
+
+    # lenient escape hatch restores warn-and-init
+    monkeypatch.setenv("CLIP_DIFFUSION_TPU_LENIENT_LOAD", "1")
+    with pytest.warns(UserWarning, match="lenient"):
+        params = zoo.load_or_init("dense_head", init_fn,
+                                  param_dtype=jnp.float32,
+                                  root=str(tmp_path))
+    assert params["params"]["kernel"].shape == (4, 4)
+
+    # ABSENT checkpoint initializes silently in strict mode too
+    monkeypatch.delenv("CLIP_DIFFUSION_TPU_LENIENT_LOAD", raising=False)
+    params = zoo.load_or_init("never_saved", init_fn,
+                              param_dtype=jnp.float32, root=str(tmp_path))
+    assert params["params"]["kernel"].shape == (4, 4)

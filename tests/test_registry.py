@@ -275,3 +275,36 @@ def test_server_model_type_changes_images(two_checkpoints, tmp_path):
         assert models.unet_params is base_params
     finally:
         srv.shutdown()
+
+
+def test_registry_concurrent_first_load_loads_once(two_checkpoints,
+                                                   monkeypatch):
+    """Concurrent first requests for one finetune must device_put ONE tree
+    (a transient duplicate 552M tree can OOM the worker, STATUS.md)."""
+    import threading
+
+    ucfg, (d1, p1), _, _ = two_checkpoints
+    reg = UNetRegistry(unet_config=ucfg, param_dtype=jnp.float32)
+    reg.register("landscape", d1)
+
+    calls = []
+    real = UNetRegistry._load_checkpoint
+
+    def slow_load(self, path):
+        calls.append(path)
+        time.sleep(0.2)  # widen the race window
+        return real(self, path)
+
+    monkeypatch.setattr(UNetRegistry, "_load_checkpoint", slow_load)
+    results = [None] * 4
+
+    def hit(i):
+        results[i] = reg.load("landscape")
+
+    threads = [threading.Thread(target=hit, args=(i,)) for i in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert len(calls) == 1
+    assert all(r is results[0] for r in results)
