@@ -41,11 +41,23 @@ def square_spherical_distance_loss(x, y):
 
 def total_variational_loss(images):
     """L2 total variation with replicate edge padding, mean over pixels and
-    channels, per batch element (reference losses.py:20-28). NHWC."""
-    padded = jnp.pad(images, ((0, 0), (0, 1), (0, 1), (0, 0)), mode="edge")
-    x_diff = padded[:, :-1, 1:, :] - padded[:, :-1, :-1, :]
-    y_diff = padded[:, 1:, :-1, :] - padded[:, :-1, :-1, :]
-    return jnp.mean(x_diff**2 + y_diff**2, axis=(1, 2, 3))
+    channels, per batch element (reference losses.py:20-28). NHWC.
+
+    Written as plain neighbor diffs, NOT `jnp.pad(mode="edge")` + diff:
+    replicate padding makes the padded row/col diffs exactly zero, so
+    summing the unpadded diffs over the same H*W*C denominator is the
+    identical quantity — and the edge-mode pad lowers through a jitted
+    `_pad` whose transpose breaks GSPMD batch-sharding propagation (the
+    backward emitted a replicated cotangent + cross-device all-reduce,
+    the ONLY collective in the pod-sharded guided step; slicing
+    propagates the batch sharding cleanly and keeps the hot loop
+    collective-free)."""
+    dx = images[:, :, 1:, :] - images[:, :, :-1, :]
+    dy = images[:, 1:, :, :] - images[:, :-1, :, :]
+    n = images.shape[1] * images.shape[2] * images.shape[3]
+    return (
+        jnp.sum(dx**2, axis=(1, 2, 3)) + jnp.sum(dy**2, axis=(1, 2, 3))
+    ) / n
 
 
 def rgb_range_loss(images):

@@ -60,6 +60,37 @@ def replicate(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def replicate_collective_free(tree, mesh: Mesh):
+    """Replicate a pytree onto every device of `mesh` WITHOUT any XLA
+    collective: each leaf is assembled from per-device host→device copies
+    via `make_array_from_single_device_arrays`.
+
+    Both jit's implicit replication of an uncommitted input and an
+    explicit `device_put(x, replicate(mesh))` of a device-resident array
+    lower to an all-reduce broadcast whose rendezvous has a hard ~40 s
+    termination timeout.  On a 1-core host emulating N CPU devices (the
+    driver's fake-mesh dryrun) a straggler device thread can miss that
+    window while another device's compute thunks monopolize the core, and
+    the runtime aborts the process (observed: the flagship dryrun's
+    uncommitted PRNG key — rendezvous.cc abort through AllReduceThunk
+    while the 552M UNet step ran).  Per-device copies sidestep XLA's
+    collective path entirely, so correctness never depends on host speed.
+    On real multi-chip hardware this costs N host transfers — fine for
+    small operands; for big trees already on device prefer
+    `jax.device_put(tree, replicate(mesh))`, which rides ICI."""
+    rep = replicate(mesh)
+    devices = list(mesh.devices.flat)
+
+    def _rep(leaf):
+        leaf = np.asarray(leaf)
+        shards = [jax.device_put(leaf, d) for d in devices]
+        return jax.make_array_from_single_device_arrays(
+            leaf.shape, rep, shards
+        )
+
+    return jax.tree_util.tree_map(_rep, tree)
+
+
 def shard_pipeline_inputs(mesh: Mesh, x, params_tree):
     """Place the generation batch on the mesh and replicate parameters."""
     x = jax.device_put(x, batch_sharding(mesh))

@@ -11,6 +11,7 @@ the fused guided loop on its own shard with zero hot-loop collectives.
 from __future__ import annotations
 
 import dataclasses
+import functools
 import os
 from typing import Dict, List, Sequence, Tuple
 
@@ -19,7 +20,11 @@ import jax.numpy as jnp
 import numpy as np
 
 from clip_diffusion_tpu.config import Config
-from clip_diffusion_tpu.parallel.mesh import batch_sharding, make_mesh
+from clip_diffusion_tpu.parallel.mesh import (
+    batch_sharding,
+    make_mesh,
+    replicate_collective_free,
+)
 from clip_diffusion_tpu.utils.seeds import seed_as_string
 
 
@@ -335,8 +340,6 @@ def serve_latent_batch(
     N*M ≈ 9-12 × n_devices for peak throughput; latency-critical
     requests can stay at batch = n_devices.
     """
-    from clip_diffusion_tpu.pipeline.latent import decode_latents, latent_sample
-
     mesh = mesh or make_mesh()
     ctx_c = jnp.asarray(context_cond)
     if ctx_c.ndim == 2:
@@ -362,8 +365,35 @@ def serve_latent_batch(
     else:
         ctx_u = jnp.zeros_like(ctx_c)
 
-    key = jax.random.PRNGKey(base_seed)
-    out_sh = batch_sharding(mesh)
+    # commit the small host-side inputs up front: the batch-sharded
+    # contexts are plain host→device slice copies, and the replicated key
+    # goes through the collective-free path — jit's implicit replication
+    # of an uncommitted input is an all-reduce broadcast that can abort a
+    # fake-mesh dryrun on a slow host (parallel/mesh.
+    # replicate_collective_free).  `params` placement stays the caller's:
+    # serving processes pre-replicate big trees once.
+    bsh = batch_sharding(mesh)
+    ctx_c = jax.device_put(np.asarray(ctx_c), bsh)
+    ctx_u = jax.device_put(np.asarray(ctx_u), bsh)
+    key = replicate_collective_free(
+        np.asarray(jax.random.PRNGKey(base_seed)), mesh
+    )
+    run = _jit_latent_serve(
+        pipe, mesh, use_cfg, batch, height, width, steps,
+        guidance_scale, eta, mode, decode,
+    )
+    return run(params, ctx_c, ctx_u, key)
+
+
+@functools.lru_cache(maxsize=None)
+def _jit_latent_serve(pipe, mesh, use_cfg, batch, height, width, steps,
+                      guidance_scale, eta, mode, decode):
+    """One compiled pod program per (pipe, mesh, geometry) — a fresh
+    closure per request would defeat jit's executable cache and re-trace
+    (and, in a server process, remote-recompile) the full CFG scan + VQ
+    decode on EVERY call.  LatentPipeline is a frozen dataclass and Mesh
+    is hashable, so the serving knobs key the cache directly."""
+    from clip_diffusion_tpu.pipeline.latent import decode_latents, latent_sample
 
     def run(p, c, u, k):
         z = latent_sample(
@@ -375,4 +405,4 @@ def serve_latent_batch(
             return decode_latents(pipe, p["vq"], z)
         return z
 
-    return jax.jit(run, out_shardings=out_sh)(params, ctx_c, ctx_u, key)
+    return jax.jit(run, out_shardings=batch_sharding(mesh))

@@ -207,3 +207,85 @@ def test_serve_latent_batch_no_cfg_and_latents():
     assert out.shape == (8, 16, 16, pipe.latent_channels)
     assert len(out.sharding.device_set) == 8
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_serve_latent_batch_reuses_compiled_program():
+    """Repeat requests with the same geometry must reuse ONE jitted
+    program (a fresh closure per request would re-trace — and in a
+    server, remote-recompile — the full CFG scan every call)."""
+    from clip_diffusion_tpu.parallel.serving import _jit_latent_serve
+
+    pipe, params, text_encode = _tiny_latent_stack()
+    mesh = make_mesh(8)
+    key = (pipe, mesh, True, 8, 32, 32, 2, 5.0, 0.0, "ddim", False)
+    assert _jit_latent_serve(*key) is _jit_latent_serve(*key)
+
+
+def test_replicate_collective_free_matches_device_put():
+    """Collective-free replication must produce a fully-replicated array
+    on every mesh device with unchanged values (it is the dryrun-safe
+    stand-in for device_put(x, replicate(mesh)), whose broadcast
+    all-reduce can abort on a 1-core host)."""
+    from clip_diffusion_tpu.parallel.mesh import replicate_collective_free
+
+    mesh = make_mesh(8)
+    tree = {"w": np.arange(12.0, dtype=np.float32).reshape(3, 4),
+            "step": np.int32(7)}
+    rep = replicate_collective_free(tree, mesh)
+    for name, leaf in rep.items():
+        assert len(leaf.sharding.device_set) == 8
+        assert leaf.sharding.is_fully_replicated
+        np.testing.assert_array_equal(np.asarray(leaf), tree[name])
+    # usable as a committed jit input with unchanged semantics
+    out = jax.jit(lambda t: t["w"].sum() + t["step"])(rep)
+    assert float(out) == float(tree["w"].sum() + 7)
+
+
+def test_guided_step_pod_program_has_zero_collectives():
+    """The pod-sharded guided hot loop must contain ZERO collectives
+    (parallel/mesh.py's design claim): batch elements are independent, so
+    any collective is a sharding-propagation regression.  A single
+    all-reduce here once aborted the driver's fake-mesh dryrun on a
+    1-core host (TV loss's edge-pad transpose fell back to a replicated
+    cotangent — guidance/losses.py total_variational_loss)."""
+    import re
+
+    from clip_diffusion_tpu.diffusion.sampling import init_history
+    from clip_diffusion_tpu.parallel.mesh import replicate_collective_free
+    from clip_diffusion_tpu.pipeline.guided import build_guided_step
+    from clip_diffusion_tpu.tests_support import build_tiny_pipeline
+
+    mesh = make_mesh(8)
+    pipe, params, _ = build_tiny_pipeline(steps=5)
+    step_fn, _ = build_guided_step(pipe)
+    shape = (8, pipe.config.height, pipe.config.width, 3)
+    params = replicate_collective_free(params, mesh)
+    x = jax.device_put(
+        jax.random.normal(jax.random.PRNGKey(0), shape, jnp.float32),
+        batch_sharding(mesh),
+    )
+    carry = (
+        x,
+        replicate_collective_free(np.asarray(init_history(shape)), mesh),
+        replicate_collective_free(np.int32(0), mesh),
+    )
+    key = replicate_collective_free(np.asarray(jax.random.PRNGKey(1)), mesh)
+
+    @jax.jit
+    def one_step(params, carry, key):
+        (x_next, _, _), pred_x0 = step_fn(
+            params, carry, jnp.int32(pipe.schedule.num_steps - 1), key
+        )
+        return x_next, pred_x0
+
+    txt = one_step.lower(params, carry, key).compile().as_text()
+    colls = [
+        ln.strip()[:160]
+        for ln in txt.splitlines()
+        if re.search(
+            r"= \S+ (all-reduce|all-gather|collective-permute"
+            r"|reduce-scatter|all-to-all)\(",
+            ln,
+        )
+    ]
+    assert not colls, f"collectives leaked into the guided step: {colls}"
