@@ -140,11 +140,26 @@ def latent_sample(
         b = x.shape[0]
         t = jnp.full((b,), t_val, jnp.float32)
         if use_cfg:
-            x2 = jnp.concatenate([x, x], axis=0)
-            t2 = jnp.concatenate([t, t], axis=0)
-            ctx = jnp.concatenate([ctx_u, ctx_c], axis=0)
+            # The fused 2B batch is INTERLEAVED per image (img0-uncond,
+            # img0-cond, img1-uncond, ...), not stacked in halves: under
+            # the pod's batch sharding, half-stacking puts an image's two
+            # passes on different devices and GSPMD reshuffles the
+            # doubled batch with collective-permutes + an all-gather
+            # EVERY step (measured on the 8-device mesh); interleaving
+            # keeps both rows of each image inside its own shard, so the
+            # CFG scan carries zero collectives.  Same values either way
+            # (the UNet is batch-elementwise).
+            def _interleave(a, b_):
+                return jnp.stack([a, b_], axis=1).reshape(
+                    (2 * a.shape[0],) + a.shape[1:]
+                )
+
+            x2 = _interleave(x, x)
+            t2 = _interleave(t, t)
+            ctx = _interleave(ctx_u, ctx_c)
             eps2 = pipe.unet_apply(unet_params, x2, t2, ctx)
-            eps_uc, eps_c = jnp.split(eps2, 2, axis=0)
+            eps2 = eps2.reshape((b, 2) + eps2.shape[1:])
+            eps_uc, eps_c = eps2[:, 0], eps2[:, 1]
             return eps_uc + guidance_scale * (eps_c - eps_uc)
         return pipe.unet_apply(unet_params, x, t, ctx_c)
 

@@ -289,3 +289,35 @@ def test_guided_step_pod_program_has_zero_collectives():
         )
     ]
     assert not colls, f"collectives leaked into the guided step: {colls}"
+
+
+def test_latent_pod_program_has_zero_collectives():
+    """The pod-sharded latent CFG scan + VQ decode must also carry zero
+    collectives (batch-elementwise throughout; same design claim as the
+    guided step, same failure class as the TV-loss edge-pad all-reduce)."""
+    import re
+
+    from clip_diffusion_tpu.parallel.mesh import replicate_collective_free
+    from clip_diffusion_tpu.parallel.serving import _jit_latent_serve
+
+    pipe, params, text_encode = _tiny_latent_stack()
+    mesh = make_mesh(8)
+    run = _jit_latent_serve(pipe, mesh, True, 8, 32, 32, 2, 5.0, 0.0,
+                            "ddim", True)
+    params = replicate_collective_free(params, mesh)
+    ctx = text_encode(["a cat"] * 8)
+    ctx = jax.device_put(np.asarray(ctx), batch_sharding(mesh))
+    key = replicate_collective_free(
+        np.asarray(jax.random.PRNGKey(0)), mesh
+    )
+    txt = run.lower(params, ctx, ctx, key).compile().as_text()
+    colls = [
+        ln.strip()[:160]
+        for ln in txt.splitlines()
+        if re.search(
+            r"= \S+ (all-reduce|all-gather|collective-permute"
+            r"|reduce-scatter|all-to-all)\(",
+            ln,
+        )
+    ]
+    assert not colls, f"collectives leaked into the latent pod program: {colls}"
