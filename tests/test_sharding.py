@@ -321,3 +321,42 @@ def test_latent_pod_program_has_zero_collectives():
         )
     ]
     assert not colls, f"collectives leaked into the latent pod program: {colls}"
+
+
+def test_ensemble_program_has_exactly_one_psum():
+    """The perceptor-parallel step's ONLY collective must be its designed
+    psum of guidance gradients — extra collectives would be a
+    sharding-propagation regression (same audit as the guided/latent
+    zero-collective tests; here the expected count is one)."""
+    import dataclasses
+    import re
+
+    from clip_diffusion_tpu.diffusion.sampling import init_history
+    from clip_diffusion_tpu.parallel.ensemble import (
+        build_ensemble_guided_step,
+        ensemble_mesh,
+    )
+    from clip_diffusion_tpu.tests_support import build_tiny_pipeline
+
+    pipe, params, _ = build_tiny_pipeline(steps=5, num_perceptors=2)
+    pipe = dataclasses.replace(
+        pipe,
+        config=pipe.config.replace(share_cutouts_across_perceptors=False),
+    )
+    step_ens = build_ensemble_guided_step(pipe, ensemble_mesh(2))
+    x = jax.random.normal(jax.random.PRNGKey(8), (1, 64, 64, 3), jnp.float32)
+    carry = (x, init_history(x.shape), jnp.int32(0))
+    f = jax.jit(
+        lambda p, c: step_ens(p, c, jnp.int32(4), jax.random.PRNGKey(7))
+    )
+    txt = f.lower(params, carry).compile().as_text()
+    colls = [
+        ln.strip()[:160]
+        for ln in txt.splitlines()
+        if re.search(
+            r"= \S+ (all-reduce|all-gather|collective-permute"
+            r"|reduce-scatter|all-to-all)\(",
+            ln,
+        )
+    ]
+    assert len(colls) == 1 and "all-reduce" in colls[0], colls
