@@ -13,6 +13,7 @@ from __future__ import annotations
 import dataclasses
 import functools
 import os
+import weakref
 from typing import Dict, List, Sequence, Tuple
 
 import jax
@@ -269,7 +270,17 @@ def serve_guided_batch(
 
     mesh = mesh or make_mesh()
     batch = prompts_count * seeds_per_prompt
-    key = jax.random.PRNGKey(base_seed)
+    # commit every host-side input up front, exactly like serve_latent_batch:
+    # jit's implicit replication of an uncommitted input is an all-reduce
+    # broadcast that can abort a fake-mesh dryrun on a slow host
+    # (parallel/mesh.replicate_collective_free).  `params` placement stays
+    # the caller's — serving processes pre-replicate big trees once — but
+    # the per-prompt rows built HERE are committed batch-sharded so the
+    # pod program stays collective-free end to end.
+    out_sh = batch_sharding(mesh)
+    key = replicate_collective_free(
+        np.asarray(jax.random.PRNGKey(base_seed)), mesh
+    )
 
     te0 = params["perceptors"][0]["text_embeddings"]
     if getattr(te0, "ndim", 2) == 3:
@@ -281,17 +292,23 @@ def serve_guided_batch(
         params["perceptors"] = [
             {
                 **pp,
-                "text_embeddings": jnp.repeat(
-                    pp["text_embeddings"], seeds_per_prompt, axis=0
+                "text_embeddings": jax.device_put(
+                    np.repeat(
+                        np.asarray(pp["text_embeddings"]),
+                        seeds_per_prompt,
+                        axis=0,
+                    ),
+                    out_sh,
                 ),
-                "text_weights": jnp.repeat(
-                    pp["text_weights"], seeds_per_prompt, axis=0
+                "text_weights": jax.device_put(
+                    np.repeat(
+                        np.asarray(pp["text_weights"]), seeds_per_prompt, axis=0
+                    ),
+                    out_sh,
                 ),
             }
             for pp in params["perceptors"]
         ]
-
-    out_sh = batch_sharding(mesh)
     final, frames = jax.jit(
         lambda p, k: guided_sample(pipe, p, k, batch_size=batch),
         out_shardings=(out_sh, None),
@@ -385,14 +402,37 @@ def serve_latent_batch(
     return run(params, ctx_c, ctx_u, key)
 
 
-@functools.lru_cache(maxsize=None)
+_LATENT_SERVE_CACHE = weakref.WeakKeyDictionary()
+
+
 def _jit_latent_serve(pipe, mesh, use_cfg, batch, height, width, steps,
                       guidance_scale, eta, mode, decode):
     """One compiled pod program per (pipe, mesh, geometry) — a fresh
     closure per request would defeat jit's executable cache and re-trace
     (and, in a server process, remote-recompile) the full CFG scan + VQ
-    decode on EVERY call.  LatentPipeline is a frozen dataclass and Mesh
-    is hashable, so the serving knobs key the cache directly."""
+    decode on EVERY call.
+
+    The cache is WEAKLY keyed on the pipe: LatentPipeline's callable
+    fields are fresh lambdas per zoo.build_latent_pipeline call, so two
+    builds of the same models never compare equal — an unbounded
+    lru_cache would both miss on every rebuilt pipe AND pin each dead
+    pipe's compiled LDM executables forever.  Build the pipeline ONCE per
+    process (every in-repo caller does: sample.py's _LATENT_STACK_CACHE,
+    bootstrap, bench) — a per-request rebuild re-traces here exactly as it
+    would under raw jit."""
+    knobs = (mesh, use_cfg, batch, height, width, steps,
+             guidance_scale, eta, mode, decode)
+    per_pipe = _LATENT_SERVE_CACHE.setdefault(pipe, {})
+    if knobs in per_pipe:
+        return per_pipe[knobs]
+    run = _build_latent_serve(pipe, mesh, use_cfg, batch, height, width,
+                              steps, guidance_scale, eta, mode, decode)
+    per_pipe[knobs] = run
+    return run
+
+
+def _build_latent_serve(pipe, mesh, use_cfg, batch, height, width, steps,
+                        guidance_scale, eta, mode, decode):
     from clip_diffusion_tpu.pipeline.latent import decode_latents, latent_sample
 
     def run(p, c, u, k):

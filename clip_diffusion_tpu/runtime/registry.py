@@ -30,7 +30,6 @@ from typing import Dict, Optional
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 # reference UI name -> checkpoint slug (notebook cell 14: model_type ->
 # {None, landscape, building} checkpoint path)
@@ -45,6 +44,12 @@ REFERENCE_ALIASES = {
 }
 
 CUSTOM_PREFIX = "guided_unet_custom_"
+
+
+class UnknownModelType(KeyError):
+    """A model_type name with no registry entry — a CLIENT error (400),
+    distinct from KeyErrors raised while reading a registered checkpoint
+    (a SERVER error the HTTP layer must answer 500 for)."""
 
 
 class UNetRegistry:
@@ -109,7 +114,7 @@ class UNetRegistry:
             return None
         with self._lock:
             if name not in self._paths:
-                raise KeyError(
+                raise UnknownModelType(
                     f"unknown model_type {name!r}; registered: {self.names()}"
                 )
             path = self._paths[name]
@@ -125,10 +130,10 @@ class UNetRegistry:
             return self._cache[path]
 
     def _load_checkpoint(self, path: str):
-        from clip_diffusion_tpu.models.convert import validate_against
-        from clip_diffusion_tpu.utils.checkpoint import load_params
+        # the shared validated-load gate (utils/checkpoint.py) — the UNet
+        # param tree is geometry-independent, so a small template suffices
+        from clip_diffusion_tpu.utils.checkpoint import load_validated_params
 
-        loaded = load_params(path)
         template = jax.eval_shape(
             lambda: self._template_model.init(
                 jax.random.PRNGKey(0),
@@ -136,16 +141,6 @@ class UNetRegistry:
                 jnp.zeros((1,)),
             )
         )
-        problems = validate_against(template, loaded)
-        if problems:
-            raise ValueError(
-                f"checkpoint {path} does not match the UNet template: "
-                f"{problems[:3]}..."
-            )
-        tree = jax.tree_util.tree_map(
-            lambda x: np.asarray(x).astype(self._param_dtype)
-            if np.issubdtype(np.asarray(x).dtype, np.floating)
-            else np.asarray(x),
-            loaded,
+        return load_validated_params(
+            path, template, self._param_dtype, "finetuned UNet"
         )
-        return jax.device_put(tree)

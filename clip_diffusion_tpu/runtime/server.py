@@ -159,16 +159,25 @@ class ClipDiffusionServer:
                     # notebook cells 14-16 -> sample.py:64,97-99)
                     model_type = kwargs.pop("model_type", None)
                     if model_type is not None:
+                        from clip_diffusion_tpu.runtime.registry import (
+                            UnknownModelType,
+                        )
+
                         try:
                             custom = server.registry.load(model_type)
-                        except KeyError as e:
+                        except UnknownModelType as e:
+                            # only the dedicated unknown-name error is a
+                            # client 400 — a bare KeyError from inside a
+                            # registered checkpoint's tree is a broken
+                            # SERVER asset and falls through to the 500
                             self._json(400, {"error": str(e)})
                             return
                         except Exception as e:  # noqa: BLE001
                             # corrupt / architecture-mismatched checkpoint
-                            # (ValueError from the template check, orbax IO
-                            # errors): answer with JSON instead of killing
-                            # the connection mid-handler
+                            # (RuntimeError from the shared validated-load
+                            # gate, orbax IO errors, stray KeyErrors from a
+                            # broken tree): answer with JSON instead of
+                            # killing the connection mid-handler
                             self._json(
                                 500,
                                 {"error": f"model_type {model_type!r} "

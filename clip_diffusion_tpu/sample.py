@@ -111,9 +111,14 @@ def guided_diffusion_sample(
                               with_aesthetic=config.aesthetic_scale > 0,
                               with_lpips=need_lpips)
     elif need_lpips and models.lpips is None:
+        # shallow copy, NOT in-place: attaching the VGG tree to the caller's
+        # (often server-shared) zoo would pin its HBM for every later
+        # request that never asked for LPIPS
+        import dataclasses
+
         from clip_diffusion_tpu.zoo import build_lpips
 
-        models.lpips = build_lpips()
+        models = dataclasses.replace(models, lpips=build_lpips())
     if custom_model_params is not None:
         # shallow copy: mutating the caller's (often server-shared) zoo
         # would leak the finetune into every subsequent default request

@@ -39,6 +39,32 @@ def load_params(path: str, template=None):
     return ckptr.restore(os.path.abspath(path))
 
 
+def load_validated_params(path: str, template_tree, param_dtype, what: str):
+    """The one validated-load sequence every loader shares: orbax restore →
+    structure+shape check against the model's init template → cast float
+    leaves to `param_dtype` → ONE device_put.  Raises RuntimeError when the
+    tree doesn't match — a provisioned deployment must never silently serve
+    random weights because a checkpoint was corrupted.  Used by both
+    zoo.load_or_init and the serving registry (runtime/registry.py) so the
+    strict-load policy cannot drift between them."""
+    from clip_diffusion_tpu.models.convert import validate_against
+
+    loaded = load_params(path)
+    problems = validate_against(template_tree, loaded)
+    if problems:
+        raise RuntimeError(
+            f"checkpoint {path} does not match the {what} template: "
+            f"{problems[:3]}..."
+        )
+    tree = jax.tree_util.tree_map(
+        lambda x: np.asarray(x).astype(param_dtype)
+        if np.issubdtype(np.asarray(x).dtype, np.floating)
+        else np.asarray(x),
+        loaded,
+    )
+    return jax.device_put(tree)
+
+
 @dataclasses.dataclass
 class SamplingState:
     """Mid-trajectory sampler state for preemption-safe resume."""

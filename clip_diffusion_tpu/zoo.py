@@ -115,23 +115,13 @@ def load_or_init(name: str, init_fn, *args, param_dtype=jnp.bfloat16,
     if path is not None:
         lenient = bool(os.environ.get("CLIP_DIFFUSION_TPU_LENIENT_LOAD"))
         try:
-            from clip_diffusion_tpu.models.convert import validate_against
-            from clip_diffusion_tpu.utils.checkpoint import load_params
-
-            loaded = load_params(path)
-            problems = validate_against(jax.eval_shape(init_fn, *args), loaded)
-            if problems:
-                raise RuntimeError(
-                    f"checkpoint {path} does not match the {name} template: "
-                    f"{problems[:3]}..."
-                )
-            tree = jax.tree_util.tree_map(
-                lambda x: np.asarray(x).astype(param_dtype)
-                if np.issubdtype(np.asarray(x).dtype, np.floating)
-                else np.asarray(x),
-                loaded,
+            from clip_diffusion_tpu.utils.checkpoint import (
+                load_validated_params,
             )
-            return jax.device_put(tree)
+
+            return load_validated_params(
+                path, jax.eval_shape(init_fn, *args), param_dtype, name
+            )
         except Exception as e:  # noqa: BLE001 — any IO/format problem
             if not lenient:
                 raise RuntimeError(

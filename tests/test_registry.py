@@ -96,12 +96,17 @@ def test_registry_rejects_mismatched_checkpoint(tmp_path):
     import dataclasses
 
     ucfg, params = _tiny_unet_params(seed=3)
-    other_cfg = dataclasses.replace(UNetConfig.tiny(64), model_channels=16)
+    # a VALID architecture that differs from the saved one (64 base
+    # channels vs 32 — 16 would fail GroupNorm-32 at template init and
+    # mask the validation path under test)
+    other_cfg = dataclasses.replace(UNetConfig.tiny(64), model_channels=64)
     d = str(tmp_path / "bad")
     save_params(d, params)
     reg = UNetRegistry(unet_config=other_cfg, param_dtype=jnp.float32)
     reg.register("bad", d)
-    with pytest.raises(ValueError):
+    # RuntimeError — the SAME strict-load gate zoo.load_or_init uses
+    # (utils/checkpoint.load_validated_params), so the policy can't drift
+    with pytest.raises(RuntimeError, match="does not match"):
         reg.load("bad")
 
 
@@ -207,6 +212,34 @@ def test_server_answers_500_on_corrupt_checkpoint(two_checkpoints):
         assert "failed to load" in out["error"]
         # the server is still alive and serving after the failure
         assert set(_get(srv, "/model_types")["model_types"]) >= {"broken"}
+    finally:
+        srv.shutdown()
+
+
+def test_server_500_on_internal_keyerror_not_400(two_checkpoints,
+                                                 monkeypatch):
+    """A KeyError raised while READING a registered checkpoint is a broken
+    server asset (500), not a client error: only the dedicated
+    UnknownModelType may map to 400."""
+    ucfg, (d1, _), _, _ = two_checkpoints
+    reg = UNetRegistry(unet_config=ucfg, param_dtype=jnp.float32)
+    reg.register("landscape", d1)
+
+    def broken_load(self, path):
+        raise KeyError("missing subtree 'input_blocks_3'")
+
+    monkeypatch.setattr(UNetRegistry, "_load_checkpoint", broken_load)
+    srv = ClipDiffusionServer(port=0, guided_fn=lambda **kw: {}, registry=reg)
+    srv.start_background()
+    try:
+        code, out = _post(srv, "/guided_sample",
+                          {"prompt": "x", "model_type": "landscape"})
+        assert code == 500
+        assert "failed to load" in out["error"]
+        # unknown names still answer 400
+        code, out = _post(srv, "/guided_sample",
+                          {"prompt": "x", "model_type": "nope"})
+        assert code == 400 and "unknown model_type" in out["error"]
     finally:
         srv.shutdown()
 
