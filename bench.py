@@ -288,6 +288,9 @@ def bench_trajectory(args, config, pipe, params):
         "detail": {
             "mode": "full-trajectory",
             "trajectory_s": round(traj_s, 1),
+            # warm per-image latency (batch=1 => p50 == the trajectory time;
+            # BASELINE.md asks for img/min + p50 latency + CLIP score)
+            "p50_latency_s": round(per_image_s, 1),
             "first_run_s": round(compile_s, 1),
             "steady_state_s": (
                 round(steady_s, 1) if math.isfinite(steady_s) else None
