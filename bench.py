@@ -364,16 +364,21 @@ def bench_config(args):
     if init:
         # stand-in for a decoded latent-diffusion output (identical FLOPs)
         init_arr = jax.random.uniform(
-            jax.random.PRNGKey(9), (1, config.height, config.width, 3),
+            jax.random.PRNGKey(9),
+            (args.batch or 1, config.height, config.width, 3),
             jnp.float32, -1.0, 1.0,
         )
 
     all_chunks = []
+    # --batch: per-chip batch. 1 is optimal for multi-tower configs (see
+    # STATUS.md batch study); single-tower config 1 peaks at batch 8
+    # (measured 16.7 -> 21.0 img/min/chip; >=12 crashes the compiler).
+    batch = args.batch or 1
 
     def run(seed):
         chunk_times = []
         final, _ = guided_sample(
-            pipe, params, jax.random.PRNGKey(seed), batch_size=1,
+            pipe, params, jax.random.PRNGKey(seed), batch_size=batch,
             init_image=init_arr, max_steps_per_dispatch=args.chunk,
             chunk_times=chunk_times,
         )
@@ -401,11 +406,12 @@ def bench_config(args):
     exec_steps = sampler.steps - skip
     return {
         "metric": f"baseline_config_{n}_images_per_min_per_chip",
-        "value": round(60.0 / best, 4),
+        "value": round(60.0 * batch / best, 4),
         "unit": "images/min",
         "vs_baseline": 0.0,
         "detail": {
             "trajectory_s": round(best, 1),
+            "batch": batch,
             "per_step_ms": round(best / exec_steps * 1000, 1),
             "executed_steps": exec_steps,
             "canvas": f"{config.width}x{config.height}",

@@ -265,7 +265,13 @@ def serve_guided_batch(
     text_embeddings is (prompts_count, Pmax, D); rows are repeated
     seeds_per_prompt times here, giving every batch element its own prompt
     while seeds fan out within a prompt.  2-D embeddings (one shared prompt)
-    keep the round-1 replicated behavior."""
+    keep the round-1 replicated behavior.
+
+    Sizing: one image per chip is optimal for multi-tower guided configs
+    (per-chip batching is a measured per-image loss there); single-small-
+    tower configs are the exception — 256² ViT-B/32-only peaks at per-chip
+    batch 8 (+26% img/min, STATUS.md batch study), so such deployments
+    should pass prompts_count x seeds_per_prompt ≈ 8 x n_devices."""
     from clip_diffusion_tpu.pipeline.guided import guided_sample
 
     mesh = mesh or make_mesh()
