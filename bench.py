@@ -103,6 +103,7 @@ def bench_flagship(args):
                 from PIL import Image
 
                 from clip_diffusion_tpu.guidance.score import clip_scores
+                from clip_diffusion_tpu.zoo import weights_provenance
 
                 img01 = np.asarray(
                     Image.open(
@@ -113,6 +114,15 @@ def bench_flagship(args):
                 res["detail"]["clip_score_cosine"] = clip_scores(
                     models.clips, img01, "a beautiful landscape painting"
                 )["cosine"]
+                # provenance flag next to the score: on random-init
+                # stand-in weights / hash tokenizer the cosine is noise,
+                # and the artifact must say so (VERDICT r3 item 5)
+                prov = weights_provenance()
+                res["detail"]["clip_score_provenance"] = {
+                    "weights": prov["weights"],
+                    "tokenizer": prov["tokenizer"],
+                    "reference_comparable": prov["reference_comparable"],
+                }
             except Exception as e:  # noqa: BLE001
                 print(f"clip score skipped: {e}", file=sys.stderr)
         return res
@@ -288,9 +298,15 @@ def bench_trajectory(args, config, pipe, params):
         "detail": {
             "mode": "full-trajectory",
             "trajectory_s": round(traj_s, 1),
-            # warm per-image latency (batch=1 => p50 == the trajectory time;
-            # BASELINE.md asks for img/min + p50 latency + CLIP score)
-            "p50_latency_s": round(per_image_s, 1),
+            # batch=1: per-image latency == the (min-over-runs, so
+            # best-case) trajectory time; batch>1: traj_s/batch is a
+            # throughput-derived figure, NOT a latency — every image in
+            # the batch completes at the full trajectory time (ADVICE r3)
+            **(
+                {"best_latency_s": round(per_image_s, 1)}
+                if args.batch == 1
+                else {"per_image_s_throughput": round(per_image_s, 1)}
+            ),
             "first_run_s": round(compile_s, 1),
             "steady_state_s": (
                 round(steady_s, 1) if math.isfinite(steady_s) else None
@@ -544,6 +560,10 @@ def main():
                    help="time the full trajectory (default unless --quick)")
     p.add_argument("--batch", type=int, default=None,
                    help="on-device batch (default: 1; 3 for --latent)")
+    p.add_argument("--force-batch", action="store_true",
+                   help="override the 512^2 multi-tower batch>1 refusal "
+                        "(documented to exhaust HBM and KILL the TPU "
+                        "worker, 3-5 min restart — STATUS.md batch study)")
     p.add_argument("--width", type=int, default=512)
     p.add_argument("--height", type=int, default=512)
     p.add_argument("--cutout-batches", type=int, default=4)
@@ -564,6 +584,27 @@ def main():
         args.repeats = (
             1 if (args.trajectory or args.latent or args.config) else 3
         )
+
+    # guard the documented worker-killer: 512^2 multi-CLIP-tower configs at
+    # batch>=2 exhaust HBM with CLIP backward residuals (batch x 64 cuts)
+    # and take the TPU worker down for 3-5 min (STATUS.md batch study /
+    # ADVICE r3).  Guided configs 2-4 and the custom 512^2 multi-tower path
+    # refuse without an explicit override; latent/smoke are unaffected.
+    multi_tower_512 = (
+        (args.config in (2, 3, 4))
+        or (args.config is None and not args.latent and not args.smoke
+            and min(args.width, args.height) >= 512
+            and len(args.clips.split(",")) > 1)
+    )
+    if args.batch > 1 and multi_tower_512 and not args.force_batch:
+        print(
+            f"refusing --batch {args.batch} for a 512^2 multi-tower guided "
+            "config: documented to exhaust HBM and kill the TPU worker "
+            "(3-5 min restart; per-image throughput is WORSE anyway — "
+            "STATUS.md batch study). Pass --force-batch to override.",
+            file=sys.stderr,
+        )
+        raise SystemExit(2)
 
     _enable_compile_cache(cpu=args.smoke)
     # the remote compile/execute service fails transiently (HTTP 500 /

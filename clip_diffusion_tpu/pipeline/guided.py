@@ -396,8 +396,25 @@ def guided_sample(
     sampler = pipe.sampler
     shape = (batch_size, cfg.height, cfg.width, 3)
 
+    # resume RNG contract: the state carries the trajectory's base key, so
+    # a new process can resume with key=None; an explicit key must MATCH
+    # (per-step RNG is fold_in of this key — a silent mismatch would resume
+    # a different trajectory)
+    from clip_diffusion_tpu.utils.checkpoint import key_data as _key_data
+
+    if resume_state is not None:
+        saved = np.asarray(resume_state.key_data, np.uint32)
+        if key is None:
+            key = jnp.asarray(saved)
+        elif not np.array_equal(_key_data(key), saved):
+            raise ValueError(
+                "resume_state was checkpointed under a different PRNG key; "
+                "pass key=None to resume with the saved key"
+            )
+    elif key is None:
+        raise ValueError("guided_sample: key is required unless resuming")
+
     start = pipe.schedule.num_steps - sampler.skip_timesteps - 1
-    steps_desc = jnp.arange(start, -1, -1)
     n_steps = int(start) + 1
 
     tables = schedule_tables(pipe.schedule)
@@ -448,7 +465,7 @@ def guided_sample(
         next_step = -1 if end_pos is None else start - end_pos
         state = SamplingState(
             x=inner[0], step=next_step, eps_history=inner[1],
-            history_count=int(inner[2]), base_seed=0,
+            history_count=int(inner[2]), key_data=_key_data(key),
         )
         return final_x, frames, state
     return final_x, frames

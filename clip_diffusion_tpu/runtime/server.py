@@ -17,6 +17,13 @@ Here the same surface is a dependency-free stdlib HTTP JSON API:
     POST /change_settings   Config knobs -> applied to subsequent requests
     GET  /random_prompt
     GET  /chosen_image?choice=N   PNG bytes (SR'd latent output)
+    GET  /files/<relpath>   artifact bytes from the output dir (progress
+                            PNGs, final images, GIFs).  This is what makes
+                            `current_result` REMOTELY fetchable without
+                            Firebase/Imgur credentials: jobs launched by
+                            this server get a LocalUploader whose URLs
+                            point here (reference contract: a cloud URL
+                            every 5 steps, sample.py:297-303)
     POST /analyze_image     {"image_b64": ...} -> top-3 styles/media
 
 Requests run on a background worker thread (one at a time — the TPU is a
@@ -73,10 +80,19 @@ class _Worker:
 class ClipDiffusionServer:
     def __init__(self, host="127.0.0.1", port=8080, config: Optional[Config] = None,
                  guided_fn=None, latent_fn=None, analyzer=None, models=None,
-                 registry=None):
+                 registry=None, output_dir: str = "output_images"):
+        import os
+
         from clip_diffusion_tpu import sample as sample_mod
 
         self.config = config or Config()
+        # artifacts root served by GET /files/<relpath>; jobs launched here
+        # write into it (sample.py's OUTPUT_PATH default) and their
+        # LocalUploader turns paths into URLs under this endpoint.  With
+        # host 0.0.0.0 the advertised URL keeps 0.0.0.0 — remote clients
+        # substitute the address they dialed (same limitation as any
+        # self-advertised bind-all server).
+        self.files_root = os.path.abspath(output_dir)
         self.models = models
         if guided_fn is None and models is not None:
             import functools
@@ -143,8 +159,42 @@ class ClipDiffusionServer:
                     self.send_header("Content-Length", str(len(data)))
                     self.end_headers()
                     self.wfile.write(data)
+                elif url.path.startswith("/files/"):
+                    self._serve_file(url.path[len("/files/"):])
                 else:
                     self._json(404, {"error": "unknown endpoint"})
+
+            _MIME = {".png": "image/png", ".gif": "image/gif",
+                     ".jpg": "image/jpeg", ".jpeg": "image/jpeg",
+                     ".json": "application/json"}
+
+            def _serve_file(self, relpath):
+                """GET /files/<relpath>: artifact bytes rooted at
+                server.files_root, path-traversal-safe (realpath must stay
+                under the root — rejects ../ escapes and symlinks out)."""
+                import os
+
+                from urllib.parse import unquote
+
+                root = os.path.realpath(server.files_root)
+                full = os.path.realpath(os.path.join(root, unquote(relpath)))
+                if full != root and not full.startswith(root + os.sep):
+                    self._json(403, {"error": "path outside artifact root"})
+                    return
+                if not os.path.isfile(full):
+                    self._json(404, {"error": "no such file"})
+                    return
+                with open(full, "rb") as f:
+                    data = f.read()
+                ext = os.path.splitext(full)[1].lower()
+                self.send_response(200)
+                self.send_header(
+                    "Content-Type",
+                    self._MIME.get(ext, "application/octet-stream"),
+                )
+                self.send_header("Content-Length", str(len(data)))
+                self.end_headers()
+                self.wfile.write(data)
 
             def _body(self):
                 n = int(self.headers.get("Content-Length", 0))
@@ -188,13 +238,17 @@ class ClipDiffusionServer:
                             kwargs["custom_model_params"] = custom
                     ok = server.worker.launch(
                         server.guided_fn,
-                        {**kwargs, "config": server.config},
+                        {**server._artifact_kwargs(), **kwargs,
+                         "config": server.config},
                     )
                     self._json(200 if ok else 409,
                                {"started": ok} if ok else {"error": "busy"})
                 elif url.path == "/latent_sample":
                     kwargs = self._body()
-                    ok = server.worker.launch(server.latent_fn, kwargs)
+                    ok = server.worker.launch(
+                        server.latent_fn,
+                        {**server._artifact_kwargs(), **kwargs},
+                    )
                     self._json(200 if ok else 409,
                                {"started": ok} if ok else {"error": "busy"})
                 elif url.path == "/change_settings":
@@ -222,6 +276,18 @@ class ClipDiffusionServer:
                     self._json(404, {"error": "unknown endpoint"})
 
         self.httpd = ThreadingHTTPServer((host, port), Handler)
+        # built after bind so ephemeral port=0 resolves; jobs launched by
+        # this server publish artifacts as /files/ URLs on this address
+        from clip_diffusion_tpu.utils.progress import LocalUploader
+
+        self.uploader = LocalUploader(
+            self.files_root, url_base=f"http://{host}:{self.port}"
+        )
+
+    def _artifact_kwargs(self) -> dict:
+        """Defaults merged UNDER client kwargs for launched jobs: write
+        artifacts into the served root and publish them as /files/ URLs."""
+        return {"uploader": self.uploader, "output_dir": self.files_root}
 
     @property
     def port(self) -> int:

@@ -72,12 +72,20 @@ def guided_diffusion_sample(
     uploader=None,
     output_dir: str = OUTPUT_PATH,
     images_per_dispatch: Optional[int] = None,
+    save_every_step: bool = False,
 ):
     """CLIP-guided generation (reference sample.py:59-314).
 
     Returns {"images": [paths], "gif_urls": [urls], "seed": int}.
     `custom_model_params`: converted params for a finetuned UNet (the
     reference's custom_model_path checkpoint selection, sample.py:64).
+
+    `save_every_step`: opt-in per-step trajectory record — a PNG of
+    pred_x0 for EVERY timestep under <output_dir>/guided/steps/ (the
+    reference writes one unconditionally, sample.py:290-295; here it is
+    opt-in because per-step host I/O from the scan's io_callback slows the
+    chip-resident fast path).  The every-5-step progress upload keeps its
+    contract either way.
 
     `images_per_dispatch`: cap the on-device batch per trajectory; larger
     `num_batches` run as sequential sub-batches with independent fold_in
@@ -144,13 +152,23 @@ def guided_diffusion_sample(
     )
 
     timer = StepTimer()
+    progress_every = 1 if save_every_step else 5
+    steps_folder = os.path.join(batch_folder, "steps")
+    if save_every_step:
+        os.makedirs(steps_folder, exist_ok=True)
 
     def progress_cb(pos, imgs):
-        timer.tick(5)
-        path = os.path.join(batch_folder, f"guided_progress_{int(pos):04}.png")
-        array_to_image((np.asarray(imgs[0]) + 1) / 2).save(path)
-        store_task_state("current_step", int(pos) + 1)
-        store_task_state("current_result", uploader.upload(path, minutes=10))
+        timer.tick(progress_every)
+        pos = int(pos)
+        img = array_to_image((np.asarray(imgs[0]) + 1) / 2)
+        if save_every_step:
+            img.save(os.path.join(steps_folder, f"guided_step_{pos:04}.png"))
+        if pos % 5 == 0:  # the reference's every-5-step upload contract
+            path = os.path.join(batch_folder, f"guided_progress_{pos:04}.png")
+            img.save(path)
+            store_task_state("current_step", pos + 1)
+            store_task_state("current_result",
+                             uploader.upload(path, minutes=10))
 
     store_task_state("current_result", None)
     chunk = images_per_dispatch or num_batches
@@ -167,7 +185,7 @@ def guided_diffusion_sample(
             batch_size=b,
             init_image=init_arr,
             progress_callback=progress_cb,
-            progress_every=5,
+            progress_every=progress_every,
         )
         finals.append(np.asarray(final))
         frame_stacks.append(np.asarray(frames))

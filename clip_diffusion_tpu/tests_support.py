@@ -114,17 +114,25 @@ def build_tiny_pipeline(steps: int = 5, mode: str = "ddim",
 
 
 def build_flagship_dryrun_pipeline(canvas: int = 64, n_prompts: int = 8,
-                                   steps: int = 250):
+                                   steps: int = 250,
+                                   model_channels: int | None = None):
     """REAL flagship UNet program + heterogeneous prompts, dryrun-sized.
 
-    The UNet is the full 552M-parameter `UNetConfig.for_image_size(512)`
-    topology (reference models.py:95-116) — only the canvas shrinks (the
+    The UNet is the `UNetConfig.for_image_size(512)` topology (reference
+    models.py:95-116) — full 7-level channel_mult, 3 attention resolutions,
+    learned-sigma head, resblock up/down — only the canvas shrinks (the
     network is fully convolutional; 64^2 is the smallest canvas its 7-level
-    channel_mult supports).  Perceptors stay tiny so the dryrun exercises
-    the FLAGSHIP program structure (552M-param fwd + VJP, het-prompt
-    (B,P,D) spherical loss, cutouts, thresholding, conditioned DDIM) without
-    hours of virtual-device CLIP compute.  float32 params/compute: the
-    virtual-device dryrun backend is CPU (bf16 would be emulated)."""
+    channel_mult supports).  `model_channels` optionally narrows the width
+    (256 -> e.g. 64) with the op graph — and therefore every sharding and
+    collective XLA inserts — unchanged; dryrun_multichip uses that so the
+    cold XLA:CPU compile of this leg fits the driver's wall-clock budget
+    (the full-width 552M program takes ~9 min to compile cold on a 1-core
+    host — MULTICHIP_r03's rc-124 root cause).  Perceptors stay tiny so the
+    dryrun exercises the FLAGSHIP program structure (UNet fwd + VJP,
+    het-prompt (B,P,D) spherical loss, cutouts, thresholding, conditioned
+    DDIM) without hours of virtual-device CLIP compute.  float32
+    params/compute: the virtual-device dryrun backend is CPU (bf16 would be
+    emulated)."""
     import dataclasses as dc
 
     from clip_diffusion_tpu.zoo import _host_init
@@ -136,6 +144,8 @@ def build_flagship_dryrun_pipeline(canvas: int = 64, n_prompts: int = 8,
     ucfg = dc.replace(
         UNetConfig.for_image_size(512), dtype=jnp.float32, remat=False
     )
+    if model_channels is not None:
+        ucfg = dc.replace(ucfg, model_channels=model_channels)
     unet = UNetModel(ucfg)
     uparams = _host_init(
         lambda: unet.init(

@@ -65,15 +65,32 @@ def load_validated_params(path: str, template_tree, param_dtype, what: str):
     return jax.device_put(tree)
 
 
+def key_data(key) -> np.ndarray:
+    """Raw uint32 words of a PRNG key — works for both typed key arrays
+    (jax.random.key) and legacy raw uint32 keys (jax.random.PRNGKey)."""
+    try:
+        return np.asarray(jax.random.key_data(key))
+    except (TypeError, ValueError):
+        return np.asarray(key, np.uint32)
+
+
 @dataclasses.dataclass
 class SamplingState:
-    """Mid-trajectory sampler state for preemption-safe resume."""
+    """Mid-trajectory sampler state for preemption-safe resume.
+
+    `key_data` holds the raw uint32 words of the trajectory's base PRNG key
+    (the `key` the original guided_sample call received), so a resume in a
+    NEW process needs nothing but this file + the params: guided_sample
+    reconstructs the key when the caller passes key=None, and refuses a
+    mismatching explicit key rather than silently diverging (the per-step
+    RNG is fold_in of this key — a wrong key resumes a different
+    trajectory)."""
 
     x: Any  # (B,H,W,C) current x_t
     step: int  # next respaced step index to execute (counts down)
     eps_history: Any  # (3,B,H,W,C) PLMS ring
     history_count: int
-    base_seed: int
+    key_data: Any  # raw uint32 words of the trajectory's base PRNG key
 
     def save(self, path: str) -> None:
         np.savez(
@@ -82,7 +99,7 @@ class SamplingState:
             step=self.step,
             eps_history=np.asarray(self.eps_history),
             history_count=self.history_count,
-            base_seed=self.base_seed,
+            key_data=np.asarray(self.key_data, np.uint32),
         )
 
     @staticmethod
@@ -93,5 +110,5 @@ class SamplingState:
             step=int(z["step"]),
             eps_history=jnp.asarray(z["eps_history"]),
             history_count=int(z["history_count"]),
-            base_seed=int(z["base_seed"]),
+            key_data=np.asarray(z["key_data"], np.uint32),
         )

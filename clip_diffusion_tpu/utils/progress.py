@@ -65,14 +65,30 @@ class Uploader:
 
 
 class LocalUploader(Uploader):
-    """Default: artifacts stay on local disk; URL is file://."""
+    """Default: artifacts stay on local disk.
 
-    def __init__(self, base_dir: str = "output_images"):
+    URL is file:// — unless `url_base` is set (the HTTP server passes its
+    own http://host:port), in which case paths under `base_dir` become
+    fetchable `<url_base>/files/<relpath>` URLs served by
+    runtime/server.py.  This closes the reference's progress-streaming
+    contract (reference sample.py:297-303 + image_utils.py:76-96 upload a
+    cloud URL every 5 steps) in the default no-Firebase/no-Imgur deploy:
+    a remote client polling /task_state can GET current_result directly."""
+
+    def __init__(self, base_dir: str = "output_images",
+                 url_base: str | None = None):
         self.base_dir = base_dir
+        self.url_base = url_base
         os.makedirs(base_dir, exist_ok=True)
 
     def upload(self, path: str, minutes: int = 10) -> str:
-        return "file://" + os.path.abspath(path)
+        abspath = os.path.abspath(path)
+        if self.url_base:
+            root = os.path.abspath(self.base_dir)
+            if abspath.startswith(root + os.sep):
+                rel = os.path.relpath(abspath, root).replace(os.sep, "/")
+                return f"{self.url_base.rstrip('/')}/files/{rel}"
+        return "file://" + abspath
 
 
 class FirebaseUploader(Uploader):

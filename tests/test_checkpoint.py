@@ -34,7 +34,7 @@ def test_sampling_state_roundtrip(tmp_path):
         step=17,
         eps_history=init_history(shape).at[0].set(1.5),
         history_count=1,
-        base_seed=42,
+        key_data=np.asarray(jax.random.PRNGKey(42)),
     )
     path = str(tmp_path / "state.npz")
     state.save(path)
@@ -42,5 +42,7 @@ def test_sampling_state_roundtrip(tmp_path):
     np.testing.assert_allclose(np.asarray(back.x), 0.3)
     assert back.step == 17
     assert back.history_count == 1
-    assert back.base_seed == 42
+    np.testing.assert_array_equal(
+        np.asarray(back.key_data), np.asarray(jax.random.PRNGKey(42))
+    )
     np.testing.assert_allclose(np.asarray(back.eps_history[0]), 1.5)

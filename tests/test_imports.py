@@ -15,8 +15,12 @@ import clip_diffusion_tpu
 
 def test_all_modules_import():
     failures = []
+    # onerror: a subpackage whose __init__ fails to import would otherwise
+    # abort the walk itself and hide every module after it (ADVICE r3)
     for mod in pkgutil.walk_packages(clip_diffusion_tpu.__path__,
-                                     prefix="clip_diffusion_tpu."):
+                                     prefix="clip_diffusion_tpu.",
+                                     onerror=lambda name: failures.append(
+                                         f"{name}: package walk error")):
         try:
             importlib.import_module(mod.name)
         except Exception as e:  # noqa: BLE001 — collect all, report once

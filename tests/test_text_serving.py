@@ -64,6 +64,23 @@ def test_tw_to_simplified_fallback():
     assert isinstance(out, str) and len(out) == 2
 
 
+def test_tw_to_simplified_phrase_level():
+    """Taiwan vocabulary converts as PHRASES (the tw2sp half the char table
+    can't do — VERDICT r3 item 7): 滑鼠 is 'mouse' in Taiwan but both its
+    glyphs are already simplified, so char-level conversion leaves the
+    wrong word; Mainland usage is 鼠标.  Same for 網路/软体/鳳梨."""
+    assert tw_to_simplified("滑鼠") == "鼠标"
+    assert tw_to_simplified("一個滑鼠和網路") == "一个鼠标和网络"
+    assert tw_to_simplified("軟體工程師") == "软件工程师"
+    assert tw_to_simplified("鳳梨披薩") == "菠萝披萨"
+    # longest-match wins: 計算機概論 (computer science intro) must not
+    # become 计算器概论 via the shorter TW 計算機=calculator entry
+    assert tw_to_simplified("計算機概論") == "计算机概论"
+    assert tw_to_simplified("計算機") == "计算器"
+    # untouched text passes through
+    assert tw_to_simplified("a cute cat") == "a cute cat"
+
+
 def test_prompt_weight_parsing():
     p = Prompt("a cute dog:3.5")
     assert p.text == "a cute dog"

@@ -179,6 +179,52 @@ def test_guided_api_images_per_dispatch(monkeypatch, tmp_path):
     assert all(os.path.exists(p) for p in res["images"])
 
 
+def test_guided_api_save_every_step(tmp_path):
+    """Opt-in per-step trajectory record (reference sample.py:290-295
+    writes a PNG for EVERY timestep; VERDICT r3 item 8): an N-step run
+    with save_every_step=True leaves N per-step PNGs plus the every-5-step
+    progress images."""
+    import jax
+    import jax.numpy as jnp
+
+    from clip_diffusion_tpu.models.clip import CLIP_PRESETS, tiny_clip_config
+    from clip_diffusion_tpu.models.clip.model import CLIPModel
+    from clip_diffusion_tpu.models.unet import UNetConfig, UNetModel
+    from clip_diffusion_tpu.sample import guided_diffusion_sample
+    from clip_diffusion_tpu.tests_support import tiny_config
+    from clip_diffusion_tpu.zoo import ZooModels
+
+    ucfg = UNetConfig.tiny(64)
+    unet = UNetModel(ucfg)
+    uparams = unet.init(
+        jax.random.PRNGKey(0), jnp.ones((1, 64, 64, 3)), jnp.zeros((1,))
+    )
+    ccfg = tiny_clip_config(name="tiny-steps")
+    clip = CLIPModel(ccfg)
+    cparams = clip.init(
+        jax.random.PRNGKey(1), jnp.ones((1, 32, 32, 3)),
+        jnp.ones((1, 77), jnp.int32),
+    )
+    CLIP_PRESETS.setdefault("tiny-steps", ccfg)
+    models = ZooModels(
+        unet=unet, unet_params=uparams,
+        clips={"tiny-steps": (clip, cparams)}, aesthetic={},
+    )
+    cfg = tiny_config(chosen_clip_models=("tiny-steps",))
+
+    steps = 5
+    res = guided_diffusion_sample(
+        prompt="a step-dump test", config=cfg, models=models, steps=steps,
+        seed=7, save_every_step=True, output_dir=str(tmp_path),
+    )
+    assert os.path.exists(res["images"][0])
+    step_dir = tmp_path / "guided" / "steps"
+    pngs = sorted(p.name for p in step_dir.glob("guided_step_*.png"))
+    assert pngs == [f"guided_step_{i:04}.png" for i in range(steps)]
+    # the every-5-step progress contract still holds alongside
+    assert (tmp_path / "guided" / "guided_progress_0000.png").exists()
+
+
 def test_clear_device_cache_keeps_live_arrays():
     """clear_gpu_cache analog (reference functional.py:137-140): frees dead
     buffers + compile caches but must leave live arrays usable."""

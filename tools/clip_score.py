@@ -41,10 +41,28 @@ def main():
         clip_scores,
         score_suite,
     )
-    from clip_diffusion_tpu.zoo import build_models
+    from clip_diffusion_tpu.zoo import build_models, weights_provenance
 
     config = Config(width=args.size, height=args.size)
     models = build_models(config, image_size=512)
+
+    # never print a bare number from stand-in assets: on random-init
+    # weights / hash tokenizer the cosine is noise, and a consumer must
+    # not be able to read it as a parity result (VERDICT r3 item 5) —
+    # every output line carries the provenance verdict
+    prov = weights_provenance()
+    provenance = {
+        "weights": prov["weights"],
+        "tokenizer": prov["tokenizer"],
+        "reference_comparable": prov["reference_comparable"],
+    }
+    if not prov["reference_comparable"]:
+        print(
+            "WARNING: scores below are NOT reference-comparable "
+            f"(weights: {prov['weights']}; tokenizer: {prov['tokenizer']}). "
+            "Provision real assets with tools/fetch_and_convert.py --all.",
+            file=sys.stderr,
+        )
 
     if args.image:
         from PIL import Image
@@ -54,7 +72,8 @@ def main():
         ) / 255.0
         prompt = args.prompt or PROMPT_SUITE[0]
         print(json.dumps({"prompt": prompt,
-                          **clip_scores(models.clips, img01, prompt)}))
+                          **clip_scores(models.clips, img01, prompt),
+                          "provenance": provenance}))
         return
 
     from clip_diffusion_tpu.sample import guided_diffusion_sample
@@ -76,7 +95,8 @@ def main():
         print(json.dumps({"prompt": prompt, "cosine": s["cosine"],
                           "spherical": s["spherical"]}))
     print(json.dumps({"suite_cosine_mean": mean, "prompts": len(rows),
-                      "steps": args.steps, "seed": args.seed}))
+                      "steps": args.steps, "seed": args.seed,
+                      "provenance": provenance}))
 
 
 if __name__ == "__main__":

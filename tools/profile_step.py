@@ -25,7 +25,8 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--only", choices=("phases", "unet", "cutouts", "clip",
-                                      "sampler"), default=None)
+                                      "sampler", "unet_blocks",
+                                      "unet_remat"), default=None)
     p.add_argument("--k", type=int, default=4)
     p.add_argument("--repeats", type=int, default=2)
     p.add_argument("--clips", type=str,
@@ -157,6 +158,123 @@ def main():
 
         timed("unet_fwd", unet_fwd_k, params, x)
         timed("unet_fwd_bwd", unet_fwdbwd_k, params, x)
+
+    if want("unet_blocks"):
+        # Per-resolution-level breakdown of the 552M UNet (VERDICT r3 item
+        # 2): each level's ResBlock and AttentionBlock timed standalone at
+        # its REAL 512^2-canvas shape, fwd+bwd, with achieved TF/s vs the
+        # 137 TF/s bf16 measured roof.  Levels (mult 0.5,1,1,2,2,4,4):
+        #   ds=1  512^2 x128   | ds=2 256^2 x256 | ds=4 128^2 x256
+        #   ds=8  64^2  x512   | ds=16 32^2 x512 +attn
+        #   ds=32 16^2  x1024 +attn | ds=64 8^2 x1024 +attn
+        from clip_diffusion_tpu.models.unet import (
+            AttentionBlock,
+            ResBlock,
+            UNetConfig,
+        )
+
+        cfg = UNetConfig.for_image_size(512)
+        mc = cfg.model_channels
+        time_dim = mc * 4
+        emb = jax.random.normal(key, (1, time_dim), jnp.bfloat16)
+        tf_roof = 137.0
+
+        def res_flops(hw, cin, cout):
+            # two 3x3 convs + optional 1x1 skip (emb dense negligible)
+            f = hw * cin * cout * 9 * 2 + hw * cout * cout * 9 * 2
+            if cin != cout:
+                f += hw * cin * cout * 2
+            return f
+
+        def attn_flops(hw, c):
+            return (hw * c * 3 * c * 2      # qkv
+                    + 2 * hw * hw * c * 2   # qk^T + a@v
+                    + hw * c * c * 2)       # proj
+
+        ds = 1
+        blocks = []
+        prev_ch = int(cfg.channel_mult[0] * mc)
+        for level, mult in enumerate(cfg.channel_mult):
+            ch = int(mult * mc)
+            size = 512 // ds
+            blocks.append(("res", level, size, prev_ch, ch))
+            if ds in cfg.attention_ds:
+                blocks.append(("attn", level, size, ch, ch))
+            prev_ch = ch
+            ds *= 2
+
+        for kind, level, size, cin, cout in blocks:
+            hw = size * size
+            if kind == "res":
+                mod = ResBlock(out_channels=cout, dtype=jnp.bfloat16)
+                xx = jax.random.normal(key, (1, size, size, cin),
+                                       jnp.bfloat16)
+                prm = mod.init(jax.random.PRNGKey(level), xx, emb)
+                fl = 3 * res_flops(hw, cin, cout)  # fwd+bwd ~= 3x fwd
+
+                def loss(z, p, mod=mod):
+                    return jnp.sum(mod.apply(p, z, emb)
+                                   .astype(jnp.float32) ** 2)
+            else:
+                mod = AttentionBlock(
+                    num_head_channels=cfg.num_head_channels,
+                    dtype=jnp.bfloat16)
+                xx = jax.random.normal(key, (1, size, size, cin),
+                                       jnp.bfloat16)
+                prm = mod.init(jax.random.PRNGKey(level), xx)
+                fl = 3 * attn_flops(hw, cin)
+
+                def loss(z, p, mod=mod):
+                    return jnp.sum(mod.apply(p, z).astype(jnp.float32) ** 2)
+
+            name = f"L{level}_{kind}_{size}px_{cin}to{cout}"
+            timed(name, k_grad_loop(loss), xx, prm)
+            ms = result[name]["ms_per_iter"]
+            result[name]["gflop_fwdbwd"] = round(fl / 1e9, 1)
+            result[name]["tflops"] = round(fl / (ms / 1e3) / 1e12, 1)
+            result[name]["pct_roof"] = round(
+                100 * fl / (ms / 1e3) / 1e12 / tf_roof)
+            print("   ->", {k: result[name][k]
+                            for k in ("gflop_fwdbwd", "tflops", "pct_roof")},
+                  flush=True)
+
+    if want("unet_remat"):
+        # whole-model fwd+bwd under the three remat policies: "full"
+        # (production default: recomputes the entire fwd during bwd =
+        # ~4/3 x the no-remat FLOPs), "dots" (saves conv/matmul outputs),
+        # and off.  If "dots"/off fit HBM inside the guided step, the
+        # recompute tax is recoverable.
+        import dataclasses as dc
+
+        from clip_diffusion_tpu.models.unet import UNetConfig, UNetModel
+        from clip_diffusion_tpu.zoo import _host_init
+
+        t_b = jnp.full((1,), 500.0)
+        for label, kw in (
+            ("remat_full", dict(remat=True, remat_policy="full")),
+            ("remat_dots", dict(remat=True, remat_policy="dots")),
+            ("remat_off", dict(remat=False)),
+        ):
+            ucfg = dc.replace(UNetConfig.for_image_size(512), **kw)
+            model = UNetModel(ucfg)
+            prm = _host_init(
+                lambda: model.init(jax.random.PRNGKey(0),
+                                   jnp.ones((1, 64, 64, 3)),
+                                   jnp.zeros((1,)))
+            )
+
+            def loss(z, p, model=model):
+                return jnp.sum(
+                    model.apply(p, z, t_b).astype(jnp.float32) ** 2
+                )
+
+            try:
+                timed(f"unet_fwdbwd_{label}", k_grad_loop(loss), x, prm)
+            except Exception as e:  # noqa: BLE001 — OOM is a data point
+                result[f"unet_fwdbwd_{label}"] = {"error": str(e)[:200]}
+                print(f"unet_fwdbwd_{label} FAILED: {str(e)[:200]}",
+                      flush=True)
+            del prm
 
     if want("cutouts"):
         spec = CutoutSpec(cut_size=224, max_overview=14, max_inner=2)
