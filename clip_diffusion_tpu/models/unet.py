@@ -98,11 +98,49 @@ def timestep_embedding(t, dim: int, max_period: float = 10000.0):
     return emb
 
 
+class _FastGroupNormCore(nn.Module):
+    """bf16 GroupNorm with f32 statistics: the two stat reductions
+    accumulate in f32 (XLA fuses the per-element convert into the reduce,
+    so no full-shape f32 tensor ever hits HBM), the per-(batch, channel)
+    affine `a = scale*rsqrt(var+eps)`, `b = bias - mean*a` is computed in
+    f32 on tiny tensors, and the only full-tensor op is ONE bf16 fused
+    multiply-add.  Declares the same `{scale, bias}` params as
+    `nn.GroupNorm` so checkpoints/converters see an identical tree."""
+
+    groups: int
+    eps: float
+
+    @nn.compact
+    def __call__(self, x):
+        c = x.shape[-1]
+        cg = c // self.groups
+        scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+        b = x.shape[0]
+        xg = x.reshape(b, -1, self.groups, cg)
+        m = jnp.mean(xg, axis=(1, 3), dtype=jnp.float32)
+        m2 = jnp.mean(
+            jnp.square(xg.astype(jnp.float32)), axis=(1, 3)
+        )
+        inv = jax.lax.rsqrt(jnp.maximum(m2 - m * m, 0.0) + self.eps)
+        a = scale.reshape(self.groups, cg)[None] * inv[:, :, None]
+        bb = bias.reshape(self.groups, cg)[None] - m[:, :, None] * a
+        a = a.reshape(b, c).astype(x.dtype)
+        bb = bb.reshape(b, c).astype(x.dtype)
+        expand = (slice(None),) + (None,) * (x.ndim - 2) + (slice(None),)
+        return x * a[expand] + bb[expand]
+
+
 class GroupNorm32(nn.Module):
     """GroupNorm(32) with float32 statistics regardless of compute dtype.
     (Falls back to fewer groups only for sub-32-channel test configs.)
     `eps` is 1e-5 for ADM/openaimodel norms; CompVis/taming `Normalize`
-    layers (spatial transformer + VQ autoencoder) use 1e-6."""
+    layers (spatial transformer + VQ autoencoder) use 1e-6.
+
+    bf16 inputs take the fused fast path (`_FastGroupNormCore`): f32
+    stats, bf16 normalization FMA — same param tree, measured whole-UNet
+    win (see STATUS.md round-4 MFU table).  f32 inputs keep the legacy
+    `nn.GroupNorm` computation bit-identical (golden/convert suites)."""
 
     eps: float = 1e-5
 
@@ -110,6 +148,10 @@ class GroupNorm32(nn.Module):
     def __call__(self, x):
         orig = x.dtype
         groups = min(32, x.shape[-1])
+        if orig == jnp.bfloat16 and x.shape[-1] % groups == 0:
+            return _FastGroupNormCore(
+                groups=groups, eps=self.eps, name="GroupNorm_0"
+            )(x)
         x = nn.GroupNorm(num_groups=groups, epsilon=self.eps,
                          dtype=jnp.float32)(x.astype(jnp.float32))
         return x.astype(orig)
