@@ -18,6 +18,28 @@ serial CLIP cutout embeds per step at 512^2/250 steps) runs ~12.5 min/image
 
 Flags: --smoke (tiny models, CI), --quick (K-step extrapolation),
 --steps N, --measure K, --clips LIST, --batch B, --width W --height H.
+
+Budget discipline (VERDICT r4 item 1 — the round-4 artifact was
+`rc: 124, parsed: null` because a cold best-effort CLIP-score compile
+stalled past the driver's timeout with the headline JSON still unprinted):
+
+- `GRAFT_BENCH_BUDGET_S` (default 1500) is a wall-clock budget.  A
+  heartbeat line goes to stderr every 30 s so a watcher can tell a long
+  remote compile (~4-6 min/program, CLAUDE.md) from a hang.
+- The headline JSON line is printed THE MOMENT the trajectory number
+  exists; the CLIP score and other extras are attached afterwards and, if
+  they complete in budget, emitted as a SECOND (enriched) JSON line.  A
+  stalled extra can no longer zero the metric — both lines carry the same
+  metric/value.
+- If the budget expires mid-trajectory, the host chunk loop raises
+  (pipeline.guided.DeadlineExceeded) and the result is reconstructed from
+  the chunks that completed, labeled `"mode": "partial(budget)"`.
+- If the compile cache looks cold for the phase programs and the budget
+  cannot cover a full cold compile (~25-30 min), the run degrades to the
+  K-step extrapolation, labeled `"mode": "quick(budget)"`.
+- `detail.cache_entries_new` counts compile-cache entries written by this
+  run: 0 == the run was fully warm (tools/assert_warm.py automates the
+  round-end invariant; VERDICT r4 item 2).
 """
 
 import argparse
@@ -25,12 +47,122 @@ import json
 import math
 import os
 import sys
+import threading
 import time
 
 REFERENCE_IMAGES_PER_MIN = 0.08  # T4 estimate, see docstring
 DEFAULT_STEPS = 250
 HEADLINE_METRIC = "guided_512px_250steps_images_per_min_per_chip"
 DEFAULT_CLIPS = "ViT-B/32,ViT-B/16,ViT-L/14,RN101"
+
+BUDGET_S = float(os.environ.get("GRAFT_BENCH_BUDGET_S", "1500"))
+T_START = time.time()
+# estimates (s) from CLAUDE.md round-4 measurements: remote compiles ran
+# 240-380 s/program; the headline needs 4 phase programs + trajectory
+COLD_FULL_EST = 1900.0
+COLD_QUICK_EST = 420.0
+SCORE_EST_WARM = 120.0
+
+_ROOT = os.path.dirname(os.path.abspath(__file__))
+
+
+def _remaining():
+    return BUDGET_S - (time.time() - T_START)
+
+
+def _cache_listing():
+    """Entries across every compile-cache dir (TPU `.jax_cache` and the
+    host-fingerprinted CPU dirs), qualified by dir name."""
+    entries = set()
+    try:
+        for d in os.listdir(_ROOT):
+            if d.startswith(".jax_cache"):
+                try:
+                    entries.update(
+                        f"{d}/{f}" for f in os.listdir(os.path.join(_ROOT, d))
+                    )
+                except OSError:
+                    pass
+    except OSError:
+        pass
+    return entries
+
+
+_CACHE_BEFORE = _cache_listing()
+
+_HB_PHASE = {"phase": "startup"}
+
+
+def _set_phase(name):
+    _HB_PHASE["phase"] = name
+    print(f"[bench] phase={name} elapsed={time.time() - T_START:.0f}s "
+          f"remaining={_remaining():.0f}s", file=sys.stderr, flush=True)
+
+
+def _start_heartbeat():
+    """Stderr heartbeat so the driver's log distinguishes a 4-6 min remote
+    compile from a dead process (VERDICT r4: 29 silent minutes)."""
+
+    def beat():
+        while True:
+            time.sleep(30.0)
+            print(
+                f"[bench heartbeat] phase={_HB_PHASE['phase']} "
+                f"elapsed={time.time() - T_START:.0f}s "
+                f"remaining={_remaining():.0f}s",
+                file=sys.stderr, flush=True,
+            )
+
+    threading.Thread(target=beat, daemon=True).start()
+
+
+def _emit(result, final=False):
+    """Print the one-line JSON artifact NOW and persist LAST_GOOD.
+    May be called twice: once the moment the headline number exists, and
+    again (enriched) if best-effort extras complete within budget."""
+    result.setdefault("detail", {})["cache_entries_new"] = len(
+        _cache_listing() - _CACHE_BEFORE
+    )
+    result["detail"]["elapsed_s"] = round(time.time() - T_START, 1)
+    if (
+        result.get("value")
+        and result.get("metric") == HEADLINE_METRIC
+        and str(result.get("detail", {}).get("mode", "")).startswith(
+            "full-trajectory")
+    ):
+        try:
+            with open(LAST_GOOD_PATH, "w") as f:
+                json.dump(result, f)
+        except Exception:  # noqa: BLE001
+            pass
+    print(json.dumps(result), flush=True)
+
+
+# estimated backward-residual footprint units per CLIP tower for one
+# image's 64-cut guidance step (relative units calibrated on the STATUS.md
+# batch study: 4-tower 512^2 batch 1 runs [9.9 units]; any multi-tower
+# 512^2 batch 2 kills the worker [>=16]; 256^2 3-tower batch 4 OOMs at 37G
+# [16]; single-tower 256^2 batch 8 is the measured optimum [10.4] and
+# batch >=12 fails [15.6]).  Cut tensors are resized to each tower's input
+# resolution, so tower cost is canvas-independent; the UNet term scales
+# with canvas area.
+TOWER_RESIDUAL_UNITS = {
+    "ViT-L/14": 4.0, "ViT-B/16": 1.5, "ViT-B/32": 0.8,
+    "RN50": 1.2, "RN101": 1.6, "RN50x4": 2.4, "RN50x16": 4.0,
+}
+UNET_UNITS_512 = 2.0
+RISK_THRESHOLD = 10.5  # midway between measured-safe 10.4 and failing 11+
+
+
+def estimate_residual_risk(clips, batch, width, height):
+    """Estimated HBM-residual risk units for a guided config (see
+    TOWER_RESIDUAL_UNITS).  > RISK_THRESHOLD == documented worker-killer."""
+    towers = sum(
+        TOWER_RESIDUAL_UNITS.get(c.strip(), 1.5)
+        for c in clips.split(",") if c.strip()
+    )
+    unet = UNET_UNITS_512 * (width * height) / (512.0 * 512.0)
+    return batch * (towers + unet)
 
 
 def _is_headline(args):
@@ -96,37 +228,14 @@ def bench_flagship(args):
             # CLIP score of the headline artifact against its prompt
             # (guidance/score.py — the north star's fixed-prompt parity
             # metric; numbers are only reference-comparable on converted
-            # real weights + real BPE table).  Best-effort: a moody
-            # post-trajectory worker must never zero the throughput metric.
-            try:
-                import numpy as np
-                from PIL import Image
-
-                from clip_diffusion_tpu.guidance.score import clip_scores
-                from clip_diffusion_tpu.zoo import weights_provenance
-
-                img01 = np.asarray(
-                    Image.open(
-                        "output_images/guided_512_250steps_segmented.png"
-                    ),
-                    np.float32,
-                ) / 255.0
-                res["detail"]["clip_score_cosine"] = clip_scores(
-                    models.clips, img01, "a beautiful landscape painting"
-                )["cosine"]
-                # provenance flag next to the score: on random-init
-                # stand-in weights / hash tokenizer the cosine is noise,
-                # and the artifact must say so (VERDICT r3 item 5)
-                prov = weights_provenance()
-                res["detail"]["clip_score_provenance"] = {
-                    "weights": prov["weights"],
-                    "tokenizer": prov["tokenizer"],
-                    "reference_comparable": prov["reference_comparable"],
-                }
-            except Exception as e:  # noqa: BLE001
-                print(f"clip score skipped: {e}", file=sys.stderr)
+            # real weights + real BPE table).  Deferred to AFTER the
+            # headline JSON is printed (VERDICT r4 item 1: a cold score
+            # compile stalled past the driver timeout and zeroed round 4)
+            # — main() runs it post-emit when budget remains.
+            res["_post_emit"] = lambda: _attach_clip_score(res, models)
         return res
 
+    _set_phase("quick-extrapolation")
     step_fn, _ = build_guided_step(pipe)
     shape = (args.batch, config.height, config.width, 3)
     key = jax.random.PRNGKey(0)
@@ -156,6 +265,10 @@ def bench_flagship(args):
 
     times = []
     for _ in range(args.repeats):
+        if times and _remaining() < 4 * K * max(times) + 20:
+            print("[bench] budget: skipping remaining quick repeats",
+                  file=sys.stderr)
+            break
         t0 = time.time()
         _ = float(run(params, x).sum())
         times.append((time.time() - t0) / K)
@@ -170,6 +283,7 @@ def bench_flagship(args):
         "unit": "images/min",
         "vs_baseline": round(images_per_min / REFERENCE_IMAGES_PER_MIN, 2),
         "detail": {
+            "mode": "quick",
             "per_step_ms": round(per_step * 1000, 1),
             "batch": args.batch,
             "canvas": f"{config.width}x{config.height}",
@@ -208,12 +322,108 @@ def steady_state_from_chunks(all_chunks, total_runs):
     return steady, best_rate
 
 
+def _attach_clip_score(res, models):
+    """Best-effort CLIP score of the saved headline artifact.  Runs ONLY
+    after the headline JSON has been emitted (main), so a cold compile or
+    moody worker here can never zero the round's metric."""
+    try:
+        import numpy as np
+        from PIL import Image
+
+        from clip_diffusion_tpu.guidance.score import clip_scores
+        from clip_diffusion_tpu.zoo import weights_provenance
+
+        img01 = np.asarray(
+            Image.open("output_images/guided_512_250steps_segmented.png"),
+            np.float32,
+        ) / 255.0
+        res["detail"]["clip_score_cosine"] = clip_scores(
+            models.clips, img01, "a beautiful landscape painting"
+        )["cosine"]
+        # provenance flag next to the score: on random-init stand-in
+        # weights / hash tokenizer the cosine is noise, and the artifact
+        # must say so (VERDICT r3 item 5)
+        prov = weights_provenance()
+        res["detail"]["clip_score_provenance"] = {
+            "weights": prov["weights"],
+            "tokenizer": prov["tokenizer"],
+            "reference_comparable": prov["reference_comparable"],
+        }
+        return True
+    except Exception as e:  # noqa: BLE001
+        print(f"clip score skipped: {e}", file=sys.stderr)
+        return False
+
+
+def _partial_result(args, config, pipe, all_chunks, elapsed):
+    """Result from an incomplete trajectory (budget expired between
+    chunks): per-phase best rates applied to the full schedule's step
+    counts; phases with no timed program yet are extrapolated at the mean
+    observed rate.  Labeled `partial(budget)` — never written to
+    LAST_GOOD (the _emit guard requires a full-trajectory mode)."""
+    from clip_diffusion_tpu.pipeline.guided import compute_phase_segments
+
+    detail = {
+        "mode": "partial(budget)",
+        "budget_s": BUDGET_S,
+        "first_run_s": round(elapsed, 1),
+        "chunks_timed": len(all_chunks),
+        "steps": args.steps,
+        "batch": args.batch,
+        "canvas": f"{config.width}x{config.height}",
+        "clip_models": list(config.chosen_clip_models),
+        "warm_repeats_ok": 0,
+    }
+    metric = (HEADLINE_METRIC if _is_headline(args)
+              else "guided_custom_images_per_min_per_chip")
+    if not all_chunks:
+        detail["error"] = "no chunk completed within budget"
+        try:
+            with open(LAST_GOOD_PATH) as f:
+                detail["last_good"] = json.load(f)
+        except Exception:  # noqa: BLE001
+            pass
+        return {"metric": metric, "value": 0.0, "unit": "images/min",
+                "vs_baseline": 0.0, "detail": detail}
+    best = {}
+    for caps, n, dt in all_chunks:
+        best[caps] = min(best.get(caps, 1e9), dt / n)
+    segs = compute_phase_segments(pipe, args.steps)
+    covered = [(len(s), best[caps]) for s, caps in segs if caps in best]
+    uncovered_steps = sum(len(s) for s, caps in segs if caps not in best)
+    covered_steps = sum(n for n, _ in covered)
+    covered_s = sum(n * r for n, r in covered)
+    mean_rate = covered_s / covered_steps
+    traj_s = covered_s + uncovered_steps * mean_rate
+    per_image_s = traj_s / args.batch
+    scale = DEFAULT_STEPS / args.steps
+    images_per_min = 60.0 / (per_image_s * scale)
+    detail.update({
+        "trajectory_s_estimated": round(traj_s, 1),
+        "steps_timed": covered_steps,
+        "steps_extrapolated_at_mean_rate": uncovered_steps,
+        "phase_ms_per_step": {
+            str(c): round(best[c] * 1000, 1) for c in best
+        },
+    })
+    return {
+        "metric": metric,
+        "value": round(images_per_min, 4),
+        "unit": "images/min",
+        "vs_baseline": round(images_per_min / REFERENCE_IMAGES_PER_MIN, 2),
+        "detail": detail,
+    }
+
+
 def bench_trajectory(args, config, pipe, params):
     """Time the COMPLETE guided trajectory (args.steps steps) end to end
     through the public pipeline — the number a user actually experiences."""
     import jax
 
-    from clip_diffusion_tpu.pipeline.guided import guided_sample
+    from clip_diffusion_tpu.pipeline.guided import (
+        DeadlineExceeded,
+        guided_sample,
+    )
 
     import gc
 
@@ -228,13 +438,31 @@ def bench_trajectory(args, config, pipe, params):
     all_chunks = []
     key = jax.random.PRNGKey(0)
     chunk_times = []
+    # leave margin for result assembly + emission after a deadline abort
+    deadline = T_START + BUDGET_S - 30.0
+    _set_phase("trajectory-run-1")
     t0 = time.time()
-    final, frames = guided_sample(pipe, params, key, batch_size=args.batch,
-                                  max_steps_per_dispatch=args.chunk,
-                                  chunk_times=chunk_times)
-    _ = float(final.sum())
+    partial = False
+    try:
+        final, frames = guided_sample(
+            pipe, params, key, batch_size=args.batch,
+            max_steps_per_dispatch=args.chunk, chunk_times=chunk_times,
+            deadline=deadline,
+        )
+        _ = float(final.sum())
+    except DeadlineExceeded:
+        # reconstruct a labeled estimate from the chunks that completed
+        # (VERDICT r4 item 1); phase coverage may be partial — the steps
+        # not covered by a timed program are extrapolated at the mean
+        # observed rate and the result says so
+        partial = True
+        final = frames = None
+        print("[bench] budget expired mid-trajectory; emitting partial "
+              "estimate from completed chunks", file=sys.stderr)
     compile_s = time.time() - t0
     all_chunks.extend(chunk_times)
+    if partial:
+        return _partial_result(args, config, pipe, all_chunks, compile_s)
     # probe runs (overridden steps/canvas/models) must not replace the
     # committed 512px/250-step artifacts that document the headline number
     # — same masquerade guard as HEADLINE_METRIC/_is_headline
@@ -263,6 +491,18 @@ def bench_trajectory(args, config, pipe, params):
     times = []
     repeat_errors = []
     for r in range(args.repeats):
+        # a warm repeat costs ~the first run's execution; don't start one
+        # the budget can't finish (its chunks would still count via the
+        # deadline, but a clean skip keeps warm_repeats_ok honest)
+        steady_est, _ = steady_state_from_chunks(all_chunks, 1 + len(times))
+        need = (min(steady_est, compile_s) if math.isfinite(steady_est)
+                else compile_s)
+        if _remaining() < need + 45:
+            print(f"[bench] budget: skipping repeats {r + 1}..{args.repeats}"
+                  f" (need ~{need:.0f}s, have {_remaining():.0f}s)",
+                  file=sys.stderr)
+            break
+        _set_phase(f"trajectory-repeat-{r + 1}")
         gc.collect()
         time.sleep(10.0)
         try:
@@ -271,17 +511,23 @@ def bench_trajectory(args, config, pipe, params):
             final, _ = guided_sample(
                 pipe, params, jax.random.PRNGKey(r + 1),
                 batch_size=args.batch, max_steps_per_dispatch=args.chunk,
-                chunk_times=chunk_times,
+                chunk_times=chunk_times, deadline=deadline,
             )
             _ = float(final.sum())
             times.append(time.time() - t0)
-            all_chunks.extend(chunk_times)
             del final
+        except DeadlineExceeded:
+            print("[bench] budget expired during repeat; keeping run-1 "
+                  "number", file=sys.stderr)
+            all_chunks.extend(chunk_times)
+            break
         except Exception as e:  # noqa: BLE001 — keep the round's number
             repeat_errors.append(str(e)[:100])
             print(f"bench repeat {r + 1} failed (keeping earlier runs): {e}",
                   file=sys.stderr)
             time.sleep(60.0)
+        else:
+            all_chunks.extend(chunk_times)
 
     steady_s, best_rate = steady_state_from_chunks(all_chunks, 1 + len(times))
     traj_s = min(times) if times else compile_s
@@ -385,6 +631,7 @@ def bench_config(args):
             jnp.float32, -1.0, 1.0,
         )
 
+    _set_phase(f"config-{n}-trajectory")
     all_chunks = []
     # --batch: per-chip batch. 1 is optimal for multi-tower configs (see
     # STATUS.md batch study); single-tower config 1 peaks at batch 8
@@ -484,6 +731,7 @@ def bench_latent(args):
     # the relay adds seconds of noisy dispatch latency (CLAUDE.md: 4x
     # swings); min-over-chunks across all trajectories reconstructs the
     # quiet steady state the same way the guided bench does
+    _set_phase("latent-trajectory")
     all_chunks, decode_times = [], []
     t0 = time.time()
     decode_times.append(run(0, all_chunks))
@@ -585,26 +833,64 @@ def main():
             1 if (args.trajectory or args.latent or args.config) else 3
         )
 
-    # guard the documented worker-killer: 512^2 multi-CLIP-tower configs at
-    # batch>=2 exhaust HBM with CLIP backward residuals (batch x 64 cuts)
-    # and take the TPU worker down for 3-5 min (STATUS.md batch study /
-    # ADVICE r3).  Guided configs 2-4 and the custom 512^2 multi-tower path
-    # refuse without an explicit override; latent/smoke are unaffected.
-    multi_tower_512 = (
-        (args.config in (2, 3, 4))
-        or (args.config is None and not args.latent and not args.smoke
-            and min(args.width, args.height) >= 512
-            and len(args.clips.split(",")) > 1)
-    )
-    if args.batch > 1 and multi_tower_512 and not args.force_batch:
+    # guard the documented worker-killer: guided configs whose estimated
+    # CLIP-backward residual footprint (batch x 64 cuts x per-tower cost,
+    # plus canvas-scaled UNet residuals) exceeds the measured-safe
+    # envelope exhaust HBM and take the TPU worker down for 3-5 min
+    # (STATUS.md batch study / ADVICE r3 / VERDICT r4 item 7 — the risk
+    # is per-tower MEMORY, not tower count: single-tower L/14 at 512^2
+    # batch 2 stores the same residual class that kills the worker).
+    # latent/smoke are unaffected.
+    if args.config in (1, 2, 3, 4):
+        geom = {
+            1: ("ViT-B/32", 256, 256),
+            2: (DEFAULT_CLIPS, 512, 512),
+            3: ("ViT-B/32,ViT-B/16,RN50", 512, 512),
+            4: (DEFAULT_CLIPS, 512, 512),
+        }[args.config]
+        risk = estimate_residual_risk(geom[0], args.batch or 1,
+                                      geom[1], geom[2])
+    elif args.config is None and not args.latent and not args.smoke:
+        risk = estimate_residual_risk(args.clips, args.batch,
+                                      args.width, args.height)
+    else:
+        risk = 0.0
+    if risk > RISK_THRESHOLD and not args.force_batch:
         print(
-            f"refusing --batch {args.batch} for a 512^2 multi-tower guided "
-            "config: documented to exhaust HBM and kill the TPU worker "
-            "(3-5 min restart; per-image throughput is WORSE anyway — "
-            "STATUS.md batch study). Pass --force-batch to override.",
+            f"refusing this guided config (residual risk {risk:.1f} > "
+            f"{RISK_THRESHOLD}): estimated CLIP-backward residuals at "
+            f"batch {args.batch} would exhaust HBM and kill the TPU "
+            "worker (3-5 min restart; per-image throughput is WORSE "
+            "anyway — STATUS.md batch study). Pass --force-batch to "
+            "override.",
             file=sys.stderr,
         )
         raise SystemExit(2)
+
+    _start_heartbeat()
+    # preflight (VERDICT r4 item 1): if the phase programs look cold in
+    # the compile cache AND the budget can't cover a cold full-trajectory
+    # compile (~25-30 min at 240-380 s/program), degrade to the K-step
+    # extrapolation up front — a labeled estimate beats a killed process.
+    budget_fallback = False
+    if (args.trajectory and args.config is None and not args.latent
+            and not args.smoke):
+        n_exec = sum(
+            1 for f in _CACHE_BEFORE
+            if f.startswith(".jax_cache/jit_exec_chunk")
+        )
+        if n_exec < 4 and BUDGET_S < COLD_FULL_EST:
+            print(
+                f"[bench] cache looks cold ({n_exec} exec_chunk entries) "
+                f"and budget {BUDGET_S:.0f}s < cold-full estimate "
+                f"{COLD_FULL_EST:.0f}s: degrading to quick extrapolation "
+                "(mode=quick(budget))",
+                file=sys.stderr,
+            )
+            budget_fallback = True
+            args.trajectory = False
+            args.segmented = False
+            args.repeats = max(args.repeats, 3)
 
     _enable_compile_cache(cpu=args.smoke)
     # the remote compile/execute service fails transiently (HTTP 500 /
@@ -613,7 +899,9 @@ def main():
     # UNAVAILABLE); keep retrying across a full restart window before
     # giving up on the round's number
     last_err = None
+    result = None
     for attempt in range(10):
+        _set_phase(f"attempt-{attempt + 1}")
         try:
             if args.smoke:
                 result = bench_smoke(args)
@@ -630,6 +918,10 @@ def main():
 
             traceback.print_exc(file=sys.stderr)
             print(f"bench attempt {attempt + 1} failed: {e}", file=sys.stderr)
+            if _remaining() < 180:
+                print("[bench] budget nearly exhausted; emitting failure "
+                      "JSON instead of retrying", file=sys.stderr)
+                break
             time.sleep(min(60 + 30 * attempt, 180))
             try:
                 # a failed backend INIT (worker outage at process start)
@@ -639,7 +931,7 @@ def main():
                 _jex.backend.clear_backends()
             except Exception:  # noqa: BLE001 — best-effort
                 pass
-    else:
+    if result is None:
         # label the failure with the metric the run was actually
         # measuring — a zeroed latent/config run must not read as a
         # guided-headline failure in aggregated bench logs
@@ -672,17 +964,29 @@ def main():
                     result["detail"]["last_good"] = json.load(f)
             except Exception:  # noqa: BLE001
                 pass
-    if (
-        result.get("value")
-        and result.get("metric") == HEADLINE_METRIC
-        and result.get("detail", {}).get("mode") == "full-trajectory"
-    ):
-        try:
-            with open(LAST_GOOD_PATH, "w") as f:
-                json.dump(result, f)
-        except Exception:  # noqa: BLE001
-            pass
-    print(json.dumps(result))
+
+    if budget_fallback and result.get("value") and result.get(
+            "metric") == "guided_custom_images_per_min_per_chip":
+        # budget-forced degradation of the default headline run: keep the
+        # headline metric name so the round's artifact aggregates, with
+        # the mode label flagging it as an extrapolated estimate.  The
+        # _emit LAST_GOOD guard (full-trajectory only) still holds.
+        result["metric"] = HEADLINE_METRIC
+        result.setdefault("detail", {})["mode"] = "quick(budget)"
+
+    # emit the headline JSON NOW; extras (CLIP score) attach afterwards
+    # and, if they complete in budget, are re-emitted as a second
+    # enriched line with the same metric/value (VERDICT r4 item 1)
+    post_emit = result.pop("_post_emit", None)
+    _emit(result)
+    if post_emit is not None:
+        if _remaining() > SCORE_EST_WARM:
+            _set_phase("clip-score-attach")
+            if post_emit():
+                _emit(result, final=True)
+        else:
+            print(f"[bench] budget: skipping CLIP-score attachment "
+                  f"({_remaining():.0f}s left)", file=sys.stderr)
 
 
 if __name__ == "__main__":

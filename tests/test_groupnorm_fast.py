@@ -56,14 +56,40 @@ def test_param_tree_identical_between_paths():
     assert any("GroupNorm_0" in k for k in flat(p16))
 
 
+def _walk_eqns(jaxpr):
+    """All eqns including call-primitive sub-jaxprs (remat / pjit / scan
+    wrapping would otherwise hide promoted full-shape ops — ADVICE r4)."""
+    from jax.extend.core import Jaxpr
+
+    def subs(v):
+        if isinstance(v, Jaxpr):
+            yield v
+        elif hasattr(v, "jaxpr") and isinstance(v.jaxpr, Jaxpr):
+            yield v.jaxpr  # ClosedJaxpr
+        elif isinstance(v, (tuple, list)):
+            for item in v:
+                yield from subs(item)
+
+    for eqn in jaxpr.eqns:
+        yield eqn
+        for v in eqn.params.values():
+            for sub in subs(v):
+                yield from _walk_eqns(sub)
+
+
 def test_full_shape_elementwise_ops_stay_bf16():
+    import functools
+
     mod = GroupNorm32()
     x = jnp.zeros((1, 16, 16, 64), jnp.bfloat16)
     params = mod.init(jax.random.PRNGKey(0), x)
-    jaxpr = jax.make_jaxpr(lambda p, x: mod.apply(p, x))(params, x).jaxpr
+    # wrap in remat on purpose: the traversal must see through
+    # call primitives, not just the top-level eqn list
+    fn = jax.checkpoint(lambda p, x: mod.apply(p, x))
+    jaxpr = jax.make_jaxpr(fn)(params, x).jaxpr
     full = tuple(x.shape)
     saw_fma = False
-    for eqn in jaxpr.eqns:
+    for eqn in _walk_eqns(jaxpr):
         if eqn.primitive.name not in ("mul", "add", "sub"):
             continue
         out = eqn.outvars[0]

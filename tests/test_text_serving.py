@@ -81,6 +81,41 @@ def test_tw_to_simplified_phrase_level():
     assert tw_to_simplified("a cute cat") == "a cute cat"
 
 
+def test_tw_to_simplified_vendored_asset(tmp_path, monkeypatch):
+    """A vendored OpenCC tw2sp TSV (tools/fetch_and_convert.py --opencc)
+    overlays the built-in curated tier WITHOUT the opencc wheel (VERDICT
+    r4 item 6).  The fixture rows are a pinned sample of OpenCC's real
+    tw2sp output for TW phrases the curated table does NOT cover."""
+    from clip_diffusion_tpu.text import zh
+
+    tsv = tmp_path / "tw2sp_phrases.tsv"
+    tsv.write_text(
+        "# pinned sample of the generated asset\n"
+        "網誌\t博客\n"          # blog: TW 網誌 -> Mainland 博客
+        "數據機\t调制解调器\n"   # modem
+        "雪梨\t悉尼\n"          # Sydney (TW transliteration)
+        "遊標\t光标\n"          # cursor
+        "滑鼠\t__ASSET_WINS__\n"  # conflict: asset overrides curated tier
+        , encoding="utf-8",
+    )
+    monkeypatch.setenv("OPENCC_TW2SP_TSV", str(tsv))
+    zh._phrase_table.cache_clear()
+    try:
+        assert tw_to_simplified("網誌") == "博客"
+        assert tw_to_simplified("數據機") == "调制解调器"
+        assert tw_to_simplified("雪梨") == "悉尼"
+        assert tw_to_simplified("遊標") == "光标"
+        # asset entries win over the built-in curated table on conflict
+        assert tw_to_simplified("滑鼠") == "__ASSET_WINS__"
+        # curated tier still active for phrases absent from the asset
+        assert tw_to_simplified("鳳梨") == "菠萝"
+    finally:
+        monkeypatch.delenv("OPENCC_TW2SP_TSV")
+        zh._phrase_table.cache_clear()
+    # without the asset the curated tier is back in force
+    assert tw_to_simplified("滑鼠") == "鼠标"
+
+
 def test_prompt_weight_parsing():
     p = Prompt("a cute dog:3.5")
     assert p.text == "a cute dog"

@@ -244,6 +244,96 @@ def convert_t5_ckpt():
     print(f"converted -> {out}")
 
 
+OPENCC_DICT_BASE = (
+    "https://raw.githubusercontent.com/BYVoid/OpenCC/master/data/dictionary/"
+)
+OPENCC_DICTS = ("TWPhrasesIT.txt", "TWPhrasesName.txt", "TWPhrasesOther.txt",
+                "TWVariants.txt", "TSPhrases.txt", "TSCharacters.txt")
+
+
+def _parse_opencc_dict(path):
+    """OpenCC dictionary format: `key<TAB>value1 value2 ...` per line."""
+    entries = []
+    with open(path, encoding="utf-8") as f:
+        for line in f:
+            parts = line.rstrip("\n").split("\t")
+            if len(parts) >= 2 and parts[0]:
+                entries.append((parts[0], parts[1].split(" ")))
+    return entries
+
+
+def convert_opencc_tw2sp():
+    """Vendor OpenCC's full tw2sp phrase vocabulary as a TSV asset
+    (`data/opencc/tw2sp_phrases.tsv`) so `text.zh.tw_to_simplified`
+    matches real OpenCC without the opencc wheel (reference prompt.py:17;
+    the built-in ~130 curated phrases stay as the no-asset tier).
+
+    For every Taiwan-variant phrase in TWPhrases{IT,Name,Other} +
+    TWVariants, the mainland-simplified output is computed with the
+    opencc wheel when importable (bit-exact), else with a faithful
+    mini-chain of OpenCC's own data: reverse TW mapping -> TSPhrases
+    (longest-first) -> TSCharacters."""
+    dict_dir = os.path.join("data", "opencc", "raw")
+    paths = {
+        n: _download(OPENCC_DICT_BASE + n, os.path.join(dict_dir, n))
+        for n in OPENCC_DICTS
+    }
+    # TW phrases: standard-Traditional key -> Taiwan variants; we need the
+    # reverse direction (first variant is canonical, all map back)
+    tw_to_std = {}
+    for n in ("TWPhrasesIT.txt", "TWPhrasesName.txt", "TWPhrasesOther.txt",
+              "TWVariants.txt"):
+        for std, variants in _parse_opencc_dict(paths[n]):
+            for v in variants:
+                tw_to_std.setdefault(v, std)
+
+    try:
+        from opencc import OpenCC  # exact when available
+
+        cc = OpenCC("tw2sp.json")
+        to_simplified = cc.convert
+    except Exception:
+        ts_phrases = {
+            k: vs[0] for k, vs in _parse_opencc_dict(paths["TSPhrases.txt"])
+        }
+        ts_chars = {
+            k: vs[0]
+            for k, vs in _parse_opencc_dict(paths["TSCharacters.txt"])
+        }
+        max_len = max(map(len, ts_phrases), default=1)
+
+        def t2s(text):
+            out, i = [], 0
+            while i < len(text):
+                for ln in range(min(max_len, len(text) - i), 1, -1):
+                    seg = text[i:i + ln]
+                    if seg in ts_phrases:
+                        out.append(ts_phrases[seg])
+                        i += ln
+                        break
+                else:
+                    out.append(ts_chars.get(text[i], text[i]))
+                    i += 1
+            return "".join(out)
+
+        def to_simplified(tw):
+            return t2s(tw_to_std.get(tw, tw))
+
+    rows = []
+    for tw in sorted(tw_to_std):
+        sp = to_simplified(tw)
+        if sp != tw:
+            rows.append((tw, sp))
+    out_path = os.path.join("data", "opencc", "tw2sp_phrases.tsv")
+    os.makedirs(os.path.dirname(out_path), exist_ok=True)
+    with open(out_path, "w", encoding="utf-8") as f:
+        f.write("# OpenCC tw2sp phrase vocabulary (generated by "
+                "tools/fetch_and_convert.py --opencc)\n")
+        for tw, sp in rows:
+            f.write(f"{tw}\t{sp}\n")
+    print(f"wrote {len(rows)} tw2sp phrases -> {out_path}")
+
+
 def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--all", action="store_true")
@@ -256,6 +346,10 @@ def main(argv=None):
     p.add_argument("--marian", action="store_true")
     p.add_argument("--t5", action="store_true")
     p.add_argument("--clip", action="append", default=[])
+    p.add_argument("--opencc", action="store_true",
+                   help="vendor OpenCC's tw2sp phrase vocabulary as "
+                        "data/opencc/tw2sp_phrases.tsv (text/zh.py loads "
+                        "it without the opencc wheel)")
     p.add_argument("--banks", action="store_true",
                    help="after converting, regenerate data/banks embedding "
                         "banks with the (now-real) towers "
@@ -298,6 +392,8 @@ def main(argv=None):
             _download(vgg_url, os.path.join(MODEL_DIR, vgg_name)),
             _download(lin_url, os.path.join(MODEL_DIR, lin_name)),
         )
+    if args.all or args.opencc:
+        convert_opencc_tw2sp()
     if args.all or args.marian:
         convert_marian_ckpt()
     if args.all or args.t5:
