@@ -26,11 +26,15 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--only", choices=("phases", "unet", "cutouts", "clip",
                                       "sampler", "unet_blocks",
-                                      "unet_remat"), default=None)
+                                      "unet_remat", "phase_blocks"),
+                   default=None)
     p.add_argument("--k", type=int, default=4)
     p.add_argument("--repeats", type=int, default=2)
     p.add_argument("--clips", type=str,
                    default="ViT-B/32,ViT-B/16,ViT-L/14,RN101")
+    p.add_argument("--caps", type=str, default="4,2",
+                   help="(phase_blocks) 'n_overview,n_inner' cutout caps of "
+                        "the phase to decompose")
     args = p.parse_args()
 
     import jax
@@ -275,6 +279,117 @@ def main():
                 print(f"unet_fwdbwd_{label} FAILED: {str(e)[:200]}",
                       flush=True)
             del prm
+
+    if want("phase_blocks"):
+        # Per-block decomposition of ONE phase's step at its real cutout
+        # caps (VERDICT r4 item 5: the (0,12) 378 ms and (4,2) 236 ms
+        # phases — 230 of 250 executed steps — had never been profiled
+        # per-block; only the 16-cut phase had).  Times, at caps
+        # (n_ov, n_in) with repeats=4 => n_cuts = 4*(n_ov+n_in) per tower:
+        #   - whole phase step (reference number, same program as bench)
+        #   - cutout engine fwd+bwd at caps
+        #   - each tower's embed+spherical-loss fwd+bwd at n_cuts
+        #   - UNet fwd+bwd (fixed cost, phase-independent)
+        #   - dynamic threshold
+        # Sum-of-blocks vs whole-step quantifies XLA's cross-block overlap
+        # and what a per-block win could buy at step level.
+        caps = tuple(int(v) for v in args.caps.split(","))
+        n_cuts = 4 * (caps[0] + caps[1])
+        if pipe is None:
+            config = Config(width=512, height=512,
+                            chosen_clip_models=tuple(args.clips.split(",")))
+            sampler = SamplerConfig(mode="ddim", steps=250, eta=0.8)
+            print("building models...", flush=True)
+            models = build_models(config, image_size=512,
+                                  param_dtype=jnp.bfloat16)
+            pipe, params = build_pipeline(
+                models, config, [("a beautiful landscape painting", 1.0)],
+                sampler,
+            )
+        phase_step = {(14, 2): 249, (12, 4): 199, (4, 2): 120,
+                      (0, 12): 20}.get(caps, 120)
+        step_fn, _ = build_guided_step(pipe, slot_caps=caps)
+
+        @jax.jit
+        def run_phase(p, xx):
+            carry = (xx, init_history(xx.shape), jnp.int32(0))
+
+            def body(c, i):
+                c, _ = step_fn(p, c, jnp.int32(phase_step), key)
+                return c, None
+
+            (xf, _, _), _ = jax.lax.scan(body, carry, jnp.arange(K))
+            return xf
+
+        timed(f"whole_step_{caps[0]}ov_{caps[1]}in", run_phase, params, x)
+
+        spec = CutoutSpec(cut_size=224, max_overview=caps[0],
+                          max_inner=caps[1])
+
+        def cuts_loss(xx, _p):
+            cuts, w = make_cutouts_batch(
+                xx.astype(jnp.bfloat16), key, jnp.int32(caps[0]),
+                jnp.int32(caps[1]), jnp.float32(5.0), jnp.float32(0.7),
+                spec, repeats=4,
+            )
+            return jnp.sum(cuts.astype(jnp.float32))
+
+        timed(f"cutouts_{n_cuts}_fwd_bwd", k_grad_loop(cuts_loss), x, None)
+
+        cuts = jax.random.uniform(key, (n_cuts, 224, 224, 3), jnp.bfloat16)
+        for i, perc in enumerate(pipe.perceptors):
+            pp = params["perceptors"][i]
+
+            def embed_loss(c, pp, perc=perc):
+                e = perc.embed_image(pp["clip"], clip_normalize(c))
+                d = square_spherical_distance_loss(
+                    e[:, None, :], pp["text_embeddings"][None, :, :]
+                )
+                return jnp.sum(d)
+
+            tag = perc.name.replace("/", "_")
+            timed(f"clip_{tag}_fwdbwd_{n_cuts}", k_grad_loop(embed_loss),
+                  cuts, pp)
+
+        unet_apply = pipe.unet_apply
+        t_b = jnp.full((1,), 500.0)
+
+        @jax.jit
+        def unet_fwdbwd_k(p, xx):
+            def loss(z):
+                return jnp.sum(
+                    unet_apply(p["unet"], z, t_b).astype(jnp.float32) ** 2
+                )
+
+            def body(c, i):
+                return c + 1e-6 * jax.grad(loss)(c), None
+
+            xf, _ = jax.lax.scan(body, xx, jnp.arange(K))
+            return xf
+
+        timed("unet_fwd_bwd", unet_fwdbwd_k, params, x)
+
+        @jax.jit
+        def thr_k(c):
+            def body(cc, i):
+                return dynamic_threshold_fast(cc * 1.001, 0.995), None
+
+            cf, _ = jax.lax.scan(body, c, jnp.arange(K))
+            return cf
+
+        timed("threshold_histogram", thr_k, x)
+        whole = result[f"whole_step_{caps[0]}ov_{caps[1]}in"]["ms_per_iter"]
+        blocks = sum(
+            v["ms_per_iter"] for k, v in result.items()
+            if not k.startswith("whole_step")
+        )
+        result["sum_blocks_vs_whole"] = {
+            "sum_blocks_ms": round(blocks, 1),
+            "whole_step_ms": round(whole, 1),
+            "overlap_pct": round(100 * (blocks - whole) / blocks, 1),
+        }
+        print("sum_blocks_vs_whole", result["sum_blocks_vs_whole"],
+              flush=True)
 
     if want("cutouts"):
         spec = CutoutSpec(cut_size=224, max_overview=14, max_inner=2)
