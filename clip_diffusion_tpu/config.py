@@ -119,6 +119,15 @@ class Config:
     # MXU at 2x; "float32" keeps bitwise placement-invariance for tests)
     guidance_dtype: str = "bfloat16"
 
+    # Max cut-images per CLIP tower pass inside the guidance grad; larger
+    # batches are split into sequential chunks (embeddings concatenated —
+    # per-cut math is identical, only XLA's schedule changes).  Measured
+    # round 5 on v5e: the fwd+bwd tower pass is SUPERLINEAR in batch
+    # (L/14: 3.40/3.79/3.99 ms/cut at 24/48/64 cuts — backward-residual
+    # working set), and chunking recovers it: L/14 64-cut 255.5 -> 198.4
+    # ms at chunk 16 (-22%), B/16 57->39.  0 disables chunking.
+    clip_cut_chunk: int = 16
+
     # Loss scales (reference config.py:47-52).
     clip_guidance_scale: float = 8000.0
     denoise_scale: float = 10000.0  # total-variation loss weight

@@ -142,6 +142,26 @@ class GuidedPipeline:
         )
 
 
+def _chunked_embed(embed_fn, clip_params, cuts_flat, chunk: int):
+    """Embed a cut batch in sequential chunks of at most `chunk` images.
+
+    Per-cut math is bit-identical to the monolithic call (concatenated
+    embeddings; concat's VJP slices the gradient back per chunk) — the
+    only change is XLA's schedule: the fwd+bwd tower pass is superlinear
+    in batch on v5e (backward-residual working set; L/14 3.40 -> 3.99
+    ms/cut from 24 -> 64 cuts, measured round 5) and chunking keeps each
+    chunk's residuals hot (64-cut L/14 255.5 -> 198.4 ms at chunk=16,
+    B/16 -> 39.2 ms; whole-step wins in STATUS.md round-5 table)."""
+    m = cuts_flat.shape[0]
+    if chunk <= 0 or m <= chunk:
+        return embed_fn(clip_params, cuts_flat)
+    return jnp.concatenate(
+        [embed_fn(clip_params, cuts_flat[i:i + chunk])
+         for i in range(0, m, chunk)],
+        axis=0,
+    )
+
+
 def _schedule_index(tables, step):
     """Respaced step -> dense 1000-basis schedule index: the reference's
     `1000 - (t+1)` with t the rescaled timestep (sample.py:156-159)."""
@@ -236,9 +256,10 @@ def make_guidance_loss(pipe: GuidedPipeline, tables, sched_arrays,
                 for pi in members:
                     perc = pipe.perceptors[pi]
                     pp = params["perceptors"][pi]
-                    embs = perc.embed_image(pp["clip"], cuts_flat).reshape(
-                        b, n, -1
-                    )
+                    embs = _chunked_embed(
+                        perc.embed_image, pp["clip"], cuts_flat,
+                        cfg.clip_cut_chunk,
+                    ).reshape(b, n, -1)
                     # (B, N, P) spherical distances vs weighted prompts.
                     # text_embeddings (P, D): one prompt set shared by the
                     # whole batch; (B, P, D): heterogeneous per-image
