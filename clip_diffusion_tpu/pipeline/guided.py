@@ -142,8 +142,9 @@ class GuidedPipeline:
         )
 
 
-def _chunked_embed(embed_fn, clip_params, cuts_flat, chunk: int):
-    """Embed a cut batch in sequential chunks of at most `chunk` images.
+def _chunked_embed(embed_fn, clip_params, cuts, chunk: int):
+    """Embed a (B, N, S, S, 3) cut batch as (B, N, D), in sequential
+    chunks of at most `chunk` cuts along the CUT axis.
 
     Per-cut math is bit-identical to the monolithic call (concatenated
     embeddings; concat's VJP slices the gradient back per chunk) — the
@@ -151,14 +152,24 @@ def _chunked_embed(embed_fn, clip_params, cuts_flat, chunk: int):
     in batch on v5e (backward-residual working set; L/14 3.40 -> 3.99
     ms/cut from 24 -> 64 cuts, measured round 5) and chunking keeps each
     chunk's residuals hot (64-cut L/14 255.5 -> 198.4 ms at chunk=16,
-    B/16 -> 39.2 ms; whole-step wins in STATUS.md round-5 table)."""
-    m = cuts_flat.shape[0]
-    if chunk <= 0 or m <= chunk:
-        return embed_fn(clip_params, cuts_flat)
+    B/16 -> 39.2 ms; whole-step wins in STATUS.md round-5 table).
+
+    Chunking slices axis 1 (cuts), never axis 0: the pod layouts shard
+    the image batch over the mesh, and a slice through a flattened
+    (B*N) axis would cross device boundaries and insert collectives
+    (tests/test_sharding.py pins the pod step at zero collectives)."""
+    b, n = cuts.shape[0], cuts.shape[1]
+    tail = cuts.shape[2:]
+
+    def flat_embed(c):
+        e = embed_fn(clip_params, c.reshape((-1,) + tail))
+        return e.reshape(b, c.shape[1], -1)
+
+    if chunk <= 0 or n <= chunk:
+        return flat_embed(cuts)
     return jnp.concatenate(
-        [embed_fn(clip_params, cuts_flat[i:i + chunk])
-         for i in range(0, m, chunk)],
-        axis=0,
+        [flat_embed(cuts[:, i:i + chunk]) for i in range(0, n, chunk)],
+        axis=1,
     )
 
 
@@ -250,16 +261,14 @@ def make_guidance_loss(pipe: GuidedPipeline, tables, sched_arrays,
                     gray, spec, repeats=cfg.num_cutout_batches,
                 )  # (B, N, S, S, 3), (B, N)
                 n = cuts.shape[1]
-                cuts_flat = clip_normalize(
-                    cuts.reshape((b * n,) + cuts.shape[2:])
-                )
+                cuts_normed = clip_normalize(cuts)  # (B, N, S, S, 3)
                 for pi in members:
                     perc = pipe.perceptors[pi]
                     pp = params["perceptors"][pi]
                     embs = _chunked_embed(
-                        perc.embed_image, pp["clip"], cuts_flat,
+                        perc.embed_image, pp["clip"], cuts_normed,
                         cfg.clip_cut_chunk,
-                    ).reshape(b, n, -1)
+                    )  # (B, N, D); chunked along cuts — see _chunked_embed
                     # (B, N, P) spherical distances vs weighted prompts.
                     # text_embeddings (P, D): one prompt set shared by the
                     # whole batch; (B, P, D): heterogeneous per-image
