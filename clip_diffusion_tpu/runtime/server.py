@@ -61,6 +61,16 @@ class _Worker:
                 return False
             self.result = None
             self.error = None
+            # reset the shared progress keys BEFORE the thread spawns: the
+            # job resets them too, but only after its own setup — a client
+            # polling right after the POST must never see the PREVIOUS
+            # job's current_result/current_step (on a loaded 1-core host
+            # that stale window spans seconds; caught by
+            # tests/test_server.py running after other server tests)
+            from clip_diffusion_tpu.utils.progress import store_task_state
+
+            store_task_state("current_result", None)
+            store_task_state("current_step", None)
 
             def run():
                 try:
